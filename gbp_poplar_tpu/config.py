@@ -1,0 +1,99 @@
+"""Solver configuration.
+
+The reference keeps its solver hyper-parameters as compile-time globals in the
+device codelet file (reference: ba/gbp_codelets.cpp:10-16) and the remaining
+options in a boost::program_options CLI struct (reference: ba/ba.cpp:374-476).
+Here everything is promoted to one explicit, hashable config object that is
+treated as a static argument under ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class GBPConfig:
+    """Hyper-parameters of the GBP bundle-adjustment solver.
+
+    Defaults reproduce the reference exactly:
+      - damping schedule (reference: ba/gbp_codelets.cpp:11-14)
+      - Huber threshold  (reference: ba/gbp_codelets.cpp:16)
+      - CLI defaults     (reference: ba/ba.cpp:394-476)
+    """
+
+    # --- measurement model ---
+    meas_var: float = 4.0              # px^2, reproj_meas_var (ba.cpp:442-445)
+    huber_nstds: float = 2.5           # Nstds (gbp_codelets.cpp:16)
+
+    # --- message damping / relinearisation state machine ---
+    eta_damping: float = 0.4           # maxeta_damping (gbp_codelets.cpp:11)
+    num_undamped_iters: int = 8        # (gbp_codelets.cpp:12)
+    dmu_threshold: float = 3e-3        # (gbp_codelets.cpp:13)
+    min_linear_iters: int = 10         # (gbp_codelets.cpp:14)
+    iters_before_damping: int = 15     # undamped_start (ba.cpp:458-461)
+
+    # --- stability extensions (not in the reference; see core/gbp.py) ---
+    # Damp Lambda messages with the same factor as eta. The reference damps
+    # only eta (gbp_codelets.cpp:458-462 vs 618-627); damping both keeps each
+    # message a consistent (eta, Lambda) pair (log-domain damped BP) and
+    # preserves PSD-ness.
+    lambda_damping: bool = False
+    # Also relinearise when the belief mean has drifted more than this from
+    # the stored linearisation point (runaway-edge recapture). <= 0 disables
+    # (reference behaviour: quiescence-only relinearisation).
+    relin_drift_threshold: float = 0.0
+    # Reset damping to 0 for freshly relinearised factors (reference
+    # behaviour, gbp_codelets.cpp:282). With lambda_damping the (eta, Lambda)
+    # consistency argument for the reset disappears, so it can be disabled.
+    reset_damping_on_relin: bool = True
+    # Relinearise every active factor every sweep. The reference relinearises
+    # lazily because per-tile relinearisation is expensive on IPU; the dense
+    # TPU sweep computes the linearisation for every edge anyway, so using it
+    # each iteration is free and turns GBP into damped Gauss-Newton message
+    # passing. Implies reset_damping_on_relin is ignored.
+    relin_every_iter: bool = False
+
+    # --- prior annealing ---
+    steps: int = 5                     # prior weakened over this many steps (ba.cpp:454-457)
+    prior_std_weaker_factor: float = 100.0  # (ba.cpp:446-449)
+    first_cam_prior_std: float = 0.01  # anchor prior std (ba.cpp:450-453)
+    num_anchor_cams: int = 2           # first k keyframes anchored (include/dataio.h:115)
+
+    # --- solver loop ---
+    n_iters: int = 1500                # (ba.cpp:406-408)
+    iters_between_kfs: int = 700       # SLAM only (slam.cpp:414-417)
+
+    # --- robustness guards (not in the reference, which relies on IPU FP
+    # traps to abort instead; ba/ba.cpp:888) ---
+    # Tikhonov jitter added to the cavity precision before inversion,
+    # relative to its mean diagonal. 0 disables.
+    cavity_jitter: float = 1e-6
+    # Factors are not relinearised while the landmark sits closer than this
+    # to (or behind) the camera plane at the linearisation point; their
+    # previous potential is kept. <= 0 disables.
+    min_depth: float = 0.05
+
+    # --- numerics ---
+    dtype: str = "float32"
+
+    @property
+    def relin_count_threshold(self) -> int:
+        """damping_count must exceed this for relinearisation.
+
+        Mirrors ``damping_count > min_linear_iters - num_undamped_iters``
+        (reference: ba/gbp_codelets.cpp:280).
+        """
+        return self.min_linear_iters - self.num_undamped_iters
+
+
+@dataclasses.dataclass(frozen=True)
+class InitConfig:
+    """Problem initialisation options (reference: ba/ba.cpp:374-448)."""
+
+    trans_noise: float = 0.0           # --tn
+    rot_noise: float = 0.0             # --rn (degrees std)
+    lmk_noise: float = 0.0             # --ltn
+    av_depth_on: bool = False          # --avdepth_on
+    av_depth: float = 1.0              # --avdepth
+    seed: int = 0

@@ -1,0 +1,153 @@
+"""Factor-graph data structures: static graph arrays + the solver state pytree.
+
+The reference scatters per-node state across IPU tiles and wires vertices to
+remote tensor slices (reference: ba/ba.cpp:663-834). The TPU-native design is
+dense structure-of-arrays batching:
+
+  - static graph structure (``GBPGraph``): edge->variable index arrays that
+    drive gathers (replacing Poplar ``graph.connect`` to remote slices) and
+    segment-sums (replacing ``popops::reduceWithOutput``, ba/ba.cpp:104-139);
+  - mutable solver state (``GBPState``): one pytree of [C,...], [L,...] and
+    [E,...] arrays — beliefs, priors, factor potentials, messages, and the
+    damping/relinearisation state machine. The whole pytree lives on device
+    for the full solve; it is also the checkpoint format.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GBPConfig
+from ..utils import priors as priors_lib
+from ..utils.balio import BAProblem
+from ..utils.flags import SlamFlags, ba_flags
+
+CAM_DOF = 6
+LMK_DOF = 3
+
+
+class GBPGraph(NamedTuple):
+    """Static per-problem arrays (device-resident, never mutated)."""
+
+    cam_idx: jax.Array      # [E] int32 — keyframe id per edge
+    lmk_idx: jax.Array      # [E] int32 — landmark id per edge
+    meas: jax.Array         # [E, 2] — observed pixel coords
+    meas_var: jax.Array     # [E] — base measurement variance (pre-Huber)
+    k: jax.Array            # [3, 3] shared intrinsics
+    cam_scaling: jax.Array  # [C] prior-annealing scaling per keyframe
+    lmk_scaling: jax.Array  # [L] prior-annealing scaling per landmark
+
+    @property
+    def n_keyframes(self) -> int:
+        return self.cam_scaling.shape[0]
+
+    @property
+    def n_points(self) -> int:
+        return self.lmk_scaling.shape[0]
+
+    @property
+    def n_edges(self) -> int:
+        return self.cam_idx.shape[0]
+
+
+class GBPState(NamedTuple):
+    """Mutable solver state (one pytree; the checkpointable unit).
+
+    Message buffers hold the messages computed in the most recent sweep; they
+    double as the "previous messages" of the next sweep (the reference keeps
+    explicit p*_messages copies, ba/ba.cpp:902-905 — functionally identical).
+    """
+
+    # beliefs
+    cam_eta: jax.Array        # [C, 6]
+    cam_lam: jax.Array        # [C, 6, 6]
+    lmk_eta: jax.Array        # [L, 3]
+    lmk_lam: jax.Array        # [L, 3, 3]
+    # priors (slot 0 of the reference's message tensor, ba/ba.cpp:880-883)
+    cam_prior_eta: jax.Array  # [C, 6]
+    cam_prior_lam: jax.Array  # [C, 6, 6]
+    lmk_prior_eta: jax.Array  # [L, 3]
+    lmk_prior_lam: jax.Array  # [L, 3, 3]
+    # linearised factor potentials, blockwise (gbp_codelets.cpp:30-34)
+    f_eta_c: jax.Array        # [E, 6]
+    f_eta_l: jax.Array        # [E, 3]
+    f_lam_cc: jax.Array       # [E, 6, 6]
+    f_lam_cl: jax.Array       # [E, 6, 3]
+    f_lam_ll: jax.Array       # [E, 3, 3]
+    # factor -> variable messages (latest sent)
+    msg_c_eta: jax.Array      # [E, 6]
+    msg_c_lam: jax.Array      # [E, 6, 6]
+    msg_l_eta: jax.Array      # [E, 3]
+    msg_l_lam: jax.Array      # [E, 3, 3]
+    # per-factor damping / relinearisation state machine
+    damping: jax.Array        # [E] float
+    damping_count: jax.Array  # [E] int32
+    mu: jax.Array             # [E, 9] previous-iteration belief means (cam, lmk)
+    lin_mu: jax.Array         # [E, 9] linearisation-point means (drift relin)
+    robust: jax.Array         # [E] bool — Huber active at last relin
+    active: jax.Array         # [E] int32 — edge participates in GBP
+    # prior-annealing flags
+    cam_weaken: jax.Array     # [C] int32
+    lmk_weaken: jax.Array     # [L] int32
+
+
+def build_graph(
+    problem: BAProblem, cfg: GBPConfig, dtype=jnp.float32
+) -> GBPGraph:
+    pr = priors_lib.build_priors(problem, cfg, dtype)
+    return GBPGraph(
+        cam_idx=jnp.asarray(problem.cam_idx.astype(np.int32)),
+        lmk_idx=jnp.asarray(problem.lmk_idx.astype(np.int32)),
+        meas=jnp.asarray(problem.measurements, dtype),
+        meas_var=jnp.full((problem.n_edges,), cfg.meas_var, dtype),
+        k=jnp.asarray(problem.k, dtype),
+        cam_scaling=pr["cam_scaling"],
+        lmk_scaling=pr["lmk_scaling"],
+    )
+
+
+def init_state(
+    problem: BAProblem,
+    cfg: GBPConfig,
+    flags: SlamFlags | None = None,
+    dtype=jnp.float32,
+) -> GBPState:
+    """Initial solver state: beliefs zero (set by the first belief update),
+    messages zero, damping state at the reference's defaults
+    (reference: ba/ba.cpp:580-590)."""
+    if flags is None:
+        flags = ba_flags(problem, cfg.steps)
+    pr = priors_lib.build_priors(problem, cfg, dtype)
+    c, l, e = problem.n_keyframes, problem.n_points, problem.n_edges
+    f = dtype
+    return GBPState(
+        cam_eta=jnp.zeros((c, CAM_DOF), f),
+        cam_lam=jnp.zeros((c, CAM_DOF, CAM_DOF), f),
+        lmk_eta=jnp.zeros((l, LMK_DOF), f),
+        lmk_lam=jnp.zeros((l, LMK_DOF, LMK_DOF), f),
+        cam_prior_eta=pr["cam_prior_eta"],
+        cam_prior_lam=pr["cam_prior_lam"],
+        lmk_prior_eta=pr["lmk_prior_eta"],
+        lmk_prior_lam=pr["lmk_prior_lam"],
+        f_eta_c=jnp.zeros((e, CAM_DOF), f),
+        f_eta_l=jnp.zeros((e, LMK_DOF), f),
+        f_lam_cc=jnp.zeros((e, CAM_DOF, CAM_DOF), f),
+        f_lam_cl=jnp.zeros((e, CAM_DOF, LMK_DOF), f),
+        f_lam_ll=jnp.zeros((e, LMK_DOF, LMK_DOF), f),
+        msg_c_eta=jnp.zeros((e, CAM_DOF), f),
+        msg_c_lam=jnp.zeros((e, CAM_DOF, CAM_DOF), f),
+        msg_l_eta=jnp.zeros((e, LMK_DOF), f),
+        msg_l_lam=jnp.zeros((e, LMK_DOF, LMK_DOF), f),
+        damping=jnp.zeros((e,), f),
+        damping_count=jnp.full((e,), -cfg.iters_before_damping, jnp.int32),
+        mu=jnp.zeros((e, CAM_DOF + LMK_DOF), f),
+        lin_mu=jnp.zeros((e, CAM_DOF + LMK_DOF), f),
+        robust=jnp.zeros((e,), jnp.bool_),
+        active=jnp.asarray(flags.active_flag.astype(np.int32)),
+        cam_weaken=jnp.asarray(flags.cam_weaken_flag.astype(np.int32)),
+        lmk_weaken=jnp.asarray(flags.lmk_weaken_flag.astype(np.int32)),
+    )

@@ -1,0 +1,139 @@
+"""Solver-core tests: tree exactness, state machine, flags, data IO."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gbp_poplar_tpu.config import GBPConfig
+from gbp_poplar_tpu.core import build_graph, init_state, gbp
+from gbp_poplar_tpu.ops import linalg
+from gbp_poplar_tpu.utils import balio, flags as flags_lib
+
+
+def _dense_marginal(prob, state):
+    """Oracle: mean of the full joint Gaussian (priors + factor potentials)."""
+    c_n, l_n, e_n = prob.n_keyframes, prob.n_points, prob.n_edges
+    n = 6 * c_n + 3 * l_n
+    lam = np.zeros((n, n))
+    eta = np.zeros(n)
+    for c in range(c_n):
+        lam[6*c:6*c+6, 6*c:6*c+6] += np.asarray(state.cam_prior_lam[c])
+        eta[6*c:6*c+6] += np.asarray(state.cam_prior_eta[c])
+    for l in range(l_n):
+        o = 6 * c_n + 3 * l
+        lam[o:o+3, o:o+3] += np.asarray(state.lmk_prior_lam[l])
+        eta[o:o+3] += np.asarray(state.lmk_prior_eta[l])
+    for e in range(e_n):
+        c, l = int(prob.cam_idx[e]), int(prob.lmk_idx[e])
+        oc, ol = 6 * c, 6 * c_n + 3 * l
+        lam[oc:oc+6, oc:oc+6] += np.asarray(state.f_lam_cc[e])
+        lam[ol:ol+3, ol:ol+3] += np.asarray(state.f_lam_ll[e])
+        lam[oc:oc+6, ol:ol+3] += np.asarray(state.f_lam_cl[e])
+        lam[ol:ol+3, oc:oc+6] += np.asarray(state.f_lam_cl[e]).T
+        eta[oc:oc+6] += np.asarray(state.f_eta_c[e])
+        eta[ol:ol+3] += np.asarray(state.f_eta_l[e])
+    return np.linalg.solve(lam, eta)
+
+
+def test_tree_gbp_exact_marginal():
+    """On a tree factor graph, converged GBP beliefs equal the exact joint
+    marginals — the gold-standard correctness check for the whole sweep."""
+    cfg = GBPConfig(dmu_threshold=0.0, iters_before_damping=10000,
+                    cavity_jitter=0.0)
+    prob = balio.synthetic_problem(n_keyframes=2, n_points=1, seed=3,
+                                   obs_per_lmk=2)
+    fl = flags_lib.ba_flags(prob, 0)  # no annealing
+    graph = build_graph(prob, cfg)
+    state = gbp.initialise(init_state(prob, cfg, flags=fl), graph, cfg)
+    mu_exact = _dense_marginal(prob, state)
+
+    step = jax.jit(lambda s: gbp.gbp_sweep(s, graph, cfg))
+    for _ in range(20):
+        state = step(state)
+    mu_cam = np.asarray(linalg.inf_to_mu(state.cam_eta, state.cam_lam)).ravel()
+    mu_lmk = np.asarray(linalg.inf_to_mu(state.lmk_eta, state.lmk_lam)).ravel()
+    np.testing.assert_allclose(
+        np.concatenate([mu_cam, mu_lmk]), mu_exact, rtol=1e-3, atol=1e-4)
+
+
+def test_fixed_point_at_ground_truth():
+    """With exact measurements and beliefs at ground truth, sweeps must not
+    move the means (the GN fixed point is the truth)."""
+    cfg = GBPConfig(iters_before_damping=0, lambda_damping=True,
+                    relin_every_iter=True, steps=5)
+    prob = balio.synthetic_problem(n_keyframes=4, n_points=30, seed=1,
+                                   pixel_noise=0.0)
+    graph = build_graph(prob, cfg)
+    state = gbp.initialise(init_state(prob, cfg), graph, cfg)
+    err0, _ = gbp.reprojection_error(state, graph)
+    run = jax.jit(lambda s: gbp.run_gbp(s, graph, cfg, 40))
+    state, diag = run(state)
+    errs = np.asarray(diag.reproj_err)
+    assert np.isfinite(errs).all()
+    assert errs[-1] < 0.05, errs
+
+
+def test_weaken_priors_schedule():
+    cfg = GBPConfig()
+    prob = balio.synthetic_problem(n_keyframes=3, n_points=12, seed=0)
+    graph = build_graph(prob, cfg)
+    state = gbp.initialise(init_state(prob, cfg), graph, cfg)
+    lam0 = np.asarray(state.cam_prior_lam).copy()
+    # apply weaken `steps` times + 2 extra (extras must be no-ops)
+    for _ in range(cfg.steps + 2):
+        state = gbp.weaken_priors(state, graph)
+    lam5 = np.asarray(state.cam_prior_lam)
+    assert (np.asarray(state.cam_weaken) == 0).all()
+    # anchors end at 1/first_cam_prior_std^2
+    np.testing.assert_allclose(
+        lam5[:2].diagonal(axis1=-2, axis2=-1),
+        np.full((2, 6), 1.0 / cfg.first_cam_prior_std**2),
+        rtol=1e-3)
+    # others weakened by prior_std_weaker_factor^2
+    np.testing.assert_allclose(
+        lam5[2:], lam0[2:] / cfg.prior_std_weaker_factor**2, rtol=1e-3)
+
+
+def test_damping_state_machine():
+    cfg = GBPConfig(iters_before_damping=3, dmu_threshold=0.0)
+    prob = balio.synthetic_problem(n_keyframes=3, n_points=12, seed=0)
+    graph = build_graph(prob, cfg)
+    state = gbp.initialise(init_state(prob, cfg), graph, cfg)
+    assert (np.asarray(state.damping_count) == -3).all()
+    for i in range(4):
+        state = gbp.gbp_sweep(state, graph, cfg)
+        if i < 3:
+            assert (np.asarray(state.damping) == 0.0).all(), i
+    # damping engages exactly when the counter crosses zero
+    assert (np.asarray(state.damping) == cfg.eta_damping).all()
+
+
+def test_inactive_edges_send_zero_messages():
+    cfg = GBPConfig()
+    prob = balio.synthetic_problem(n_keyframes=4, n_points=20, seed=2)
+    fl = flags_lib.create_flags(prob, cfg.steps)   # only kf 0,1 active
+    graph = build_graph(prob, cfg)
+    state = gbp.initialise(init_state(prob, cfg, flags=fl), graph, cfg)
+    state = gbp.gbp_sweep(state, graph, cfg)
+    inactive = np.asarray(state.active) == 0
+    assert inactive.any()
+    assert (np.abs(np.asarray(state.msg_c_eta)[inactive]) == 0).all()
+    assert (np.abs(np.asarray(state.msg_c_lam)[inactive]) == 0).all()
+    # inactive variables' beliefs stay at their priors
+    touched_cams = np.unique(np.asarray(prob.cam_idx)[~inactive])
+    untouched = np.setdiff1d(np.arange(prob.n_keyframes), touched_cams)
+    np.testing.assert_allclose(
+        np.asarray(state.cam_eta)[untouched],
+        np.asarray(state.cam_prior_eta)[untouched])
+
+
+def test_solve_runs_and_is_finite(synthetic):
+    cfg = GBPConfig(relin_every_iter=True, lambda_damping=True,
+                    iters_before_damping=0)
+    graph = build_graph(synthetic, cfg)
+    state = init_state(synthetic, cfg)
+    final, diag = jax.jit(lambda s: gbp.solve(s, graph, cfg, n_iters=60))(state)
+    errs = np.asarray(diag.reproj_err)
+    assert np.isfinite(errs).all()
+    assert errs[-1] < errs[0]
