@@ -1,0 +1,75 @@
+"""Headline benchmark: synchronous GBP sweeps/sec on fr1xyz (single chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sweeps/s", "vs_baseline": N}
+
+The reference repo publishes no numbers (BASELINE.md); the paper it
+implements (arXiv:2003.03134) reports bundle-adjustment convergence in tens
+of milliseconds over hundreds of GBP iterations on one GC2 IPU — i.e. an
+iteration rate of order 1e3 sweeps/s on fr1-scale graphs. We use
+BASELINE_SWEEPS_PER_SEC = 1000 as that documented order-of-magnitude anchor;
+vs_baseline > 1 means faster than the IPU reference estimate.
+
+A convergence guard (mean reprojection error on fr1xyz must reach < 3 px)
+ensures the measured sweep is the real solver, not a degenerate fast path.
+"""
+
+import json
+import sys
+import time
+
+BASELINE_SWEEPS_PER_SEC = 1000.0
+SEQ = "fr1xyz"
+N_SWEEPS = 300
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from gbp_poplar_tpu.config import GBPConfig
+    from gbp_poplar_tpu.core import build_graph, init_state, gbp
+    from gbp_poplar_tpu.utils import balio
+
+    cfg = GBPConfig()
+    problem = balio.load_bal(SEQ)
+    graph = build_graph(problem, cfg)
+    state0 = init_state(problem, cfg)
+
+    # --- convergence guard (with diagnostics, separate compile) ---
+    guard = jax.jit(lambda s: gbp.solve(s, graph, cfg, n_iters=500))
+    final, diag = guard(state0)
+    jax.block_until_ready(final)
+    err = float(np.asarray(diag.reproj_err)[-1])
+    if not (err < 3.0):
+        print(f"CONVERGENCE GUARD FAILED: err={err}", file=sys.stderr)
+        sys.exit(1)
+
+    # --- timed hot loop: pure sweeps, no per-iter diagnostics ---
+    @jax.jit
+    def hot(state):
+        st = gbp.initialise(state, graph, cfg)
+        st, _ = gbp.run_gbp(st, graph, cfg, N_SWEEPS, with_diagnostics=False)
+        return st
+
+    jax.block_until_ready(hot(state0))  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(hot(state0))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    sweeps_per_sec = N_SWEEPS / dt
+
+    print(f"fr1xyz: {problem.n_edges} edges, err@500={err:.3f}px, "
+          f"{dt*1e3/N_SWEEPS:.3f} ms/sweep", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"gbp_sweeps_per_sec_{SEQ}",
+        "value": round(sweeps_per_sec, 2),
+        "unit": "sweeps/s",
+        "vs_baseline": round(sweeps_per_sec / BASELINE_SWEEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,282 @@
+"""Levenberg-Marquardt / Schur-complement bundle-adjustment baseline.
+
+The reference cross-checks GBP only by eyeballing reprojection error
+(ba/ba.cpp:1022-1028); BASELINE.md asks for a real Gauss-Newton /
+Schur-complement cross-check solver. This is a Ceres-style *iterative Schur*
+solver, designed TPU-first:
+
+  - No global sparse matrix is ever materialised. The reduced camera system
+    ``S = A + P_c - W M^-1 W^T`` is applied **matrix-free**: every matvec is
+    per-edge batched 6x3/3x3 work (gathers over ``cam_idx``/``lmk_idx`` +
+    ``segment_sum``), exactly the data layout the GBP sweep uses.
+  - Landmarks are marginalised in closed form per landmark (3x3 inverses,
+    batched), cameras solved by preconditioned CG with the **exact block
+    diagonal of S** as block-Jacobi preconditioner (each (cam, lmk) pair
+    appears in at most one edge, so the diagonal correction
+    ``segment_sum(W M^-1 W^T)`` is exact, not an approximation).
+  - Huber robustness enters as IRLS reweighting with the same
+    variance-inflation rule as the GBP factors (ops/projection.py,
+    reference: ba/gbp_codelets.cpp:134-141).
+  - The same per-variable Gaussian priors the GBP solver anneals to are
+    added to the normal equations, so both solvers optimise the same MAP
+    objective and their solutions are directly comparable.
+
+Everything is jit-compatible; the LM accept/reject loop is a ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GBPConfig
+from ..ops import linalg, projection
+from .factor_graph import GBPGraph
+
+
+class GNPriors(NamedTuple):
+    """Per-variable Gaussian priors (information form) for the MAP objective."""
+
+    cam_lam: jax.Array  # [C] isotropic precision
+    cam_mu: jax.Array   # [C, 6]
+    lmk_lam: jax.Array  # [L] isotropic precision
+    lmk_mu: jax.Array   # [L, 3]
+
+
+class GNResult(NamedTuple):
+    cam: jax.Array        # [C, 6] final poses
+    lmk: jax.Array        # [L, 3] final landmarks
+    cost: jax.Array       # [n_lm_iters] robust cost trace
+    reproj_err: jax.Array  # [n_lm_iters] mean reprojection error (px)
+    accepted: jax.Array   # [n_lm_iters] bool, LM step accepted
+    lm_lambda: jax.Array  # final damping
+
+
+def annealed_priors(
+    graph: GBPGraph, cam_mu0: jax.Array, lmk_mu0: jax.Array,
+    cam_lam0: jax.Array, lmk_lam0: jax.Array, cfg: GBPConfig,
+) -> GNPriors:
+    """The priors GBP ends up with after its annealing schedule.
+
+    After `steps` applications of the per-variable scaling
+    (utils/priors.build_priors): anchor keyframes end at
+    1/first_cam_prior_std^2, all other variables are weakened by
+    prior_std_weaker_factor^2 (reference: ba/ba.cpp:560-572).
+    """
+    c = cam_lam0.shape[0]
+    anchor = jnp.arange(c) < cfg.num_anchor_cams
+    weak = cfg.prior_std_weaker_factor ** 2
+    cam_lam = jnp.where(anchor, 1.0 / cfg.first_cam_prior_std ** 2,
+                        cam_lam0 / weak)
+    lmk_lam = lmk_lam0 / weak
+    return GNPriors(cam_lam=cam_lam, cam_mu=cam_mu0,
+                    lmk_lam=lmk_lam, lmk_mu=lmk_mu0)
+
+
+def _weights(r: jax.Array, meas_var: jax.Array, nstds: float) -> jax.Array:
+    """IRLS weights 1/var' with the GBP Huber variance-inflation rule."""
+    err = jnp.linalg.norm(r, axis=-1)
+    var, _ = projection.huber_meas_var(err, meas_var, nstds)
+    return 1.0 / var
+
+
+def _robust_cost(
+    r: jax.Array, meas_var: jax.Array, nstds: float
+) -> jax.Array:
+    """Sum of Huber losses (in whitened units) over edges."""
+    err2 = jnp.sum(r * r, axis=-1) / meas_var
+    err = jnp.sqrt(err2)
+    k = nstds
+    quad = 0.5 * err2
+    lin = k * err - 0.5 * k * k
+    return jnp.sum(jnp.where(err > k, lin, quad))
+
+
+def _prior_cost(cam, lmk, priors: GNPriors) -> jax.Array:
+    dc = cam - priors.cam_mu
+    dl = lmk - priors.lmk_mu
+    return 0.5 * (jnp.sum(priors.cam_lam[:, None] * dc * dc)
+                  + jnp.sum(priors.lmk_lam[:, None] * dl * dl))
+
+
+class _NormalEqs(NamedTuple):
+    a_c: jax.Array      # [C, 6, 6] camera diag blocks (incl prior + LM damping)
+    m_inv: jax.Array    # [L, 3, 3] inverted landmark blocks
+    w: jax.Array        # [E, 6, 3] cross blocks
+    b_c: jax.Array      # [C, 6] camera rhs
+    b_l: jax.Array      # [L, 3] landmark rhs
+    s_diag_inv: jax.Array  # [C, 6, 6] inverse of exact S block diagonal
+
+
+def _build(
+    cam, lmk, graph: GBPGraph, priors: GNPriors, nstds: float,
+    lm_lambda: jax.Array,
+) -> _NormalEqs:
+    c, l = graph.n_keyframes, graph.n_points
+    cam_e = cam[graph.cam_idx]
+    lmk_e = lmk[graph.lmk_idx]
+    j_c, j_l = projection.reproj_jacobians(cam_e, lmk_e, graph.k)
+    r = graph.meas - projection.project(cam_e, lmk_e, graph.k)
+    w_e = _weights(r, graph.meas_var, nstds)[:, None, None]   # [E,1,1]
+
+    jtj_cc = linalg.bmm(linalg.transpose(j_c), j_c) * w_e     # [E,6,6]
+    jtj_ll = linalg.bmm(linalg.transpose(j_l), j_l) * w_e     # [E,3,3]
+    w_cl = linalg.bmm(linalg.transpose(j_c), j_l) * w_e       # [E,6,3]
+    jtr_c = linalg.bmv(linalg.transpose(j_c), r) * w_e[..., 0]
+    jtr_l = linalg.bmv(linalg.transpose(j_l), r) * w_e[..., 0]
+
+    a_c = jax.ops.segment_sum(jtj_cc, graph.cam_idx, num_segments=c)
+    m_l = jax.ops.segment_sum(jtj_ll, graph.lmk_idx, num_segments=l)
+    b_c = jax.ops.segment_sum(jtr_c, graph.cam_idx, num_segments=c)
+    b_l = jax.ops.segment_sum(jtr_l, graph.lmk_idx, num_segments=l)
+
+    eye6 = jnp.eye(6, dtype=cam.dtype)
+    eye3 = jnp.eye(3, dtype=cam.dtype)
+    # priors + LM damping (additive Marquardt: lambda * (diag + prior))
+    a_c = a_c + (priors.cam_lam[:, None, None] * eye6)
+    m_l = m_l + (priors.lmk_lam[:, None, None] * eye3)
+    b_c = b_c + priors.cam_lam[:, None] * (priors.cam_mu - cam)
+    b_l = b_l + priors.lmk_lam[:, None] * (priors.lmk_mu - lmk)
+    damp = 1.0 + lm_lambda
+    a_c = a_c * jnp.where(eye6 > 0, damp, 1.0)
+    m_l = m_l * jnp.where(eye3 > 0, damp, 1.0)
+
+    m_inv = linalg.inv3x3(m_l)
+
+    # exact block diagonal of S: each (cam, lmk) pair occurs in one edge
+    wmw = linalg.bmm(w_cl, linalg.bmm(m_inv[graph.lmk_idx],
+                                      linalg.transpose(w_cl)))
+    s_diag = a_c - jax.ops.segment_sum(wmw, graph.cam_idx, num_segments=c)
+    s_diag_inv = linalg.inv6x6(s_diag)
+    return _NormalEqs(a_c, m_inv, w_cl, b_c, b_l, s_diag_inv)
+
+
+def _schur_matvec(ne: _NormalEqs, graph: GBPGraph, v: jax.Array) -> jax.Array:
+    """S v = (A - W M^-1 W^T) v, matrix-free over edges. v: [C, 6]."""
+    c, l = graph.n_keyframes, graph.n_points
+    av = linalg.bmv(ne.a_c, v)
+    v_e = v[graph.cam_idx]                                    # [E, 6]
+    y_l = jax.ops.segment_sum(
+        linalg.bmv(linalg.transpose(ne.w), v_e), graph.lmk_idx,
+        num_segments=l)                                       # [L, 3]
+    z_l = linalg.bmv(ne.m_inv, y_l)
+    u_e = linalg.bmv(ne.w, z_l[graph.lmk_idx])                # [E, 6]
+    return av - jax.ops.segment_sum(u_e, graph.cam_idx, num_segments=c)
+
+
+def _schur_rhs(ne: _NormalEqs, graph: GBPGraph) -> jax.Array:
+    """b_c - W M^-1 b_l, the reduced-system right-hand side."""
+    c = graph.n_keyframes
+    z_l = linalg.bmv(ne.m_inv, ne.b_l)
+    u_e = linalg.bmv(ne.w, z_l[graph.lmk_idx])
+    return ne.b_c - jax.ops.segment_sum(u_e, graph.cam_idx, num_segments=c)
+
+
+def _pcg(ne: _NormalEqs, graph: GBPGraph, rhs: jax.Array,
+         n_iters: int, tol: float) -> jax.Array:
+    """Block-Jacobi preconditioned CG on the reduced camera system."""
+
+    def precond(r):
+        return linalg.bmv(ne.s_diag_inv, r)
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+    rhs_norm2 = jnp.maximum(jnp.sum(rhs * rhs), 1e-30)
+
+    def body(carry, _):
+        x, r, p, rz = carry
+        ap = _schur_matvec(ne, graph, p)
+        pap = jnp.sum(p * ap)
+        converged = jnp.sum(r * r) / rhs_norm2 < tol * tol
+        alpha = jnp.where(pap > 0, rz / jnp.maximum(pap, 1e-30), 0.0)
+        alpha = jnp.where(converged, 0.0, alpha)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, p0, rz0),
+                                   None, length=n_iters)
+    return x
+
+
+def _back_substitute(
+    ne: _NormalEqs, graph: GBPGraph, dx_c: jax.Array
+) -> jax.Array:
+    """dx_l = M^-1 (b_l - W^T dx_c)."""
+    l = graph.n_points
+    wt_dx = jax.ops.segment_sum(
+        linalg.bmv(linalg.transpose(ne.w), dx_c[graph.cam_idx]),
+        graph.lmk_idx, num_segments=l)
+    return linalg.bmv(ne.m_inv, ne.b_l - wt_dx)
+
+
+def solve_lm(
+    cam0: jax.Array,
+    lmk0: jax.Array,
+    graph: GBPGraph,
+    priors: GNPriors,
+    cfg: GBPConfig,
+    n_lm_iters: int = 30,
+    cg_iters: int = 50,
+    cg_tol: float = 1e-6,
+    lambda0: float = 1e-4,
+) -> GNResult:
+    """Levenberg-Marquardt with iterative-Schur steps. Jit-compatible."""
+    nstds = cfg.huber_nstds
+
+    def total_cost(cam, lmk):
+        r = graph.meas - projection.project(
+            cam[graph.cam_idx], lmk[graph.lmk_idx], graph.k)
+        return _robust_cost(r, graph.meas_var, nstds) + _prior_cost(
+            cam, lmk, priors)
+
+    def mean_err(cam, lmk):
+        r = graph.meas - projection.project(
+            cam[graph.cam_idx], lmk[graph.lmk_idx], graph.k)
+        return jnp.mean(jnp.linalg.norm(r, axis=-1))
+
+    def body(carry, _):
+        cam, lmk, lm_lambda, cost = carry
+        ne = _build(cam, lmk, graph, priors, nstds, lm_lambda)
+        rhs = _schur_rhs(ne, graph)
+        dx_c = _pcg(ne, graph, rhs, cg_iters, cg_tol)
+        dx_l = _back_substitute(ne, graph, dx_c)
+        cam_new = cam + dx_c
+        lmk_new = lmk + dx_l
+        cost_new = total_cost(cam_new, lmk_new)
+        accept = (cost_new < cost) & jnp.isfinite(cost_new)
+        cam = jnp.where(accept, cam_new, cam)
+        lmk = jnp.where(accept, lmk_new, lmk)
+        cost = jnp.where(accept, cost_new, cost)
+        lm_lambda = jnp.where(accept, jnp.maximum(lm_lambda / 3.0, 1e-9),
+                              jnp.minimum(lm_lambda * 5.0, 1e6))
+        return (cam, lmk, lm_lambda, cost), (cost, mean_err(cam, lmk), accept)
+
+    cost0 = total_cost(cam0, lmk0)
+    (cam, lmk, lm_lambda, _), (costs, errs, accepted) = jax.lax.scan(
+        body, (cam0, lmk0, jnp.asarray(lambda0, cam0.dtype), cost0),
+        None, length=n_lm_iters)
+    return GNResult(cam=cam, lmk=lmk, cost=costs, reproj_err=errs,
+                    accepted=accepted, lm_lambda=lm_lambda)
+
+
+def solve_problem(problem, cfg: GBPConfig, dtype=jnp.float32, **kw) -> GNResult:
+    """Convenience wrapper: build graph + annealed priors from a BAProblem."""
+    from ..utils import priors as priors_lib
+    from .factor_graph import build_graph
+
+    graph = build_graph(problem, cfg, dtype)
+    cam_lam0, lmk_lam0 = priors_lib.prior_lambdas(problem, cfg.meas_var, dtype)
+    cam0 = jnp.asarray(problem.cam_means, dtype)
+    lmk0 = jnp.asarray(problem.lmk_means, dtype)
+    pri = annealed_priors(graph, cam0, lmk0, cam_lam0, lmk_lam0, cfg)
+    return solve_lm(cam0, lmk0, graph, pri, cfg, **kw)

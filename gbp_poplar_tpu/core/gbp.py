@@ -46,19 +46,30 @@ def _regularised(mat: jax.Array, rel_eps: float) -> jax.Array:
 # belief update (replaces popops reduceWithOutput, reference: ba/ba.cpp:104-139)
 # ---------------------------------------------------------------------------
 
-def update_beliefs(state: GBPState, graph: GBPGraph) -> GBPState:
-    """belief = prior + sum of incoming messages (scatter-add over edges)."""
+def update_beliefs(
+    state: GBPState, graph: GBPGraph, axis_name: str | None = None
+) -> GBPState:
+    """belief = prior + sum of incoming messages (scatter-add over edges).
+
+    Under ``shard_map`` with the edge axis sharded, each shard computes a
+    partial segment-sum over its local edges; ``axis_name`` names the mesh
+    axis over which the partials are ``psum``-reduced — the TPU-native
+    equivalent of Poplar's cross-tile ``reduceWithOutput``
+    (reference: ba/ba.cpp:104-139) riding ICI instead of exchange fabric.
+    """
     c, l = graph.n_keyframes, graph.n_points
-    cam_eta = state.cam_prior_eta + jax.ops.segment_sum(
-        state.msg_c_eta, graph.cam_idx, num_segments=c)
-    cam_lam = state.cam_prior_lam + jax.ops.segment_sum(
-        state.msg_c_lam, graph.cam_idx, num_segments=c)
-    lmk_eta = state.lmk_prior_eta + jax.ops.segment_sum(
-        state.msg_l_eta, graph.lmk_idx, num_segments=l)
-    lmk_lam = state.lmk_prior_lam + jax.ops.segment_sum(
-        state.msg_l_lam, graph.lmk_idx, num_segments=l)
+    msg_cam_eta = jax.ops.segment_sum(state.msg_c_eta, graph.cam_idx, num_segments=c)
+    msg_cam_lam = jax.ops.segment_sum(state.msg_c_lam, graph.cam_idx, num_segments=c)
+    msg_lmk_eta = jax.ops.segment_sum(state.msg_l_eta, graph.lmk_idx, num_segments=l)
+    msg_lmk_lam = jax.ops.segment_sum(state.msg_l_lam, graph.lmk_idx, num_segments=l)
+    if axis_name is not None:
+        msg_cam_eta, msg_cam_lam, msg_lmk_eta, msg_lmk_lam = jax.lax.psum(
+            (msg_cam_eta, msg_cam_lam, msg_lmk_eta, msg_lmk_lam), axis_name)
     return state._replace(
-        cam_eta=cam_eta, cam_lam=cam_lam, lmk_eta=lmk_eta, lmk_lam=lmk_lam)
+        cam_eta=state.cam_prior_eta + msg_cam_eta,
+        cam_lam=state.cam_prior_lam + msg_cam_lam,
+        lmk_eta=state.lmk_prior_eta + msg_lmk_eta,
+        lmk_lam=state.lmk_prior_lam + msg_lmk_lam)
 
 
 # ---------------------------------------------------------------------------
@@ -87,7 +98,9 @@ def linearise_all(state: GBPState, graph: GBPGraph, cfg: GBPConfig) -> GBPState:
 # prior annealing (reference: gbp_codelets.cpp:176-197 + ba/ba.cpp:1003-1006)
 # ---------------------------------------------------------------------------
 
-def weaken_priors(state: GBPState, graph: GBPGraph) -> GBPState:
+def weaken_priors(
+    state: GBPState, graph: GBPGraph, axis_name: str | None = None
+) -> GBPState:
     """Scale priors by the per-variable annealing factor while the weaken
     flag is live, decrementing the flag; then refresh beliefs."""
     # The reference hardcodes flag in {1..5} (gbp_codelets.cpp:185); flags are
@@ -104,16 +117,18 @@ def weaken_priors(state: GBPState, graph: GBPGraph) -> GBPState:
         cam_weaken=state.cam_weaken - cam_live.astype(state.cam_weaken.dtype),
         lmk_weaken=state.lmk_weaken - lmk_live.astype(state.lmk_weaken.dtype),
     )
-    return update_beliefs(state, graph)
+    return update_beliefs(state, graph, axis_name)
 
 
 # ---------------------------------------------------------------------------
 # one synchronous GBP sweep (= GBP_PROG, reference: ba/ba.cpp:895-905)
 # ---------------------------------------------------------------------------
 
-def gbp_sweep(state: GBPState, graph: GBPGraph, cfg: GBPConfig) -> GBPState:
+def gbp_sweep(
+    state: GBPState, graph: GBPGraph, cfg: GBPConfig,
+    axis_name: str | None = None,
+) -> GBPState:
     active = state.active > 0
-    active_f = active.astype(state.damping.dtype)
 
     # --- gather adjacent beliefs (replaces Poplar inter-tile exchange) ---
     bc_eta = state.cam_eta[graph.cam_idx]      # [E, 6]
@@ -203,13 +218,15 @@ def gbp_sweep(state: GBPState, graph: GBPGraph, cfg: GBPConfig) -> GBPState:
         msg_c_lam = (1.0 - d2) * msg_c_lam + d2 * state.msg_c_lam
         msg_l_lam = (1.0 - d2) * msg_l_lam + d2 * state.msg_l_lam
 
-    # inactive factors emit zeros (reference: gbp_codelets.cpp:464-468)
-    a1 = active_f[:, None]
+    # Inactive factors emit zeros (reference: gbp_codelets.cpp:464-468).
+    # jnp.where (not multiply-by-mask) so a non-finite value computed on an
+    # inactive/padding edge cannot poison the reduction (NaN * 0 = NaN).
+    a1 = active[:, None]
     a2 = a1[..., None]
-    msg_c_eta = msg_c_eta * a1
-    msg_l_eta = msg_l_eta * a1
-    msg_c_lam = msg_c_lam * a2
-    msg_l_lam = msg_l_lam * a2
+    msg_c_eta = jnp.where(a1, msg_c_eta, 0.0)
+    msg_l_eta = jnp.where(a1, msg_l_eta, 0.0)
+    msg_c_lam = jnp.where(a2, msg_c_lam, 0.0)
+    msg_l_lam = jnp.where(a2, msg_l_lam, 0.0)
 
     state = state._replace(
         f_eta_c=f_eta_c, f_eta_l=f_eta_l, f_lam_cc=f_lam_cc,
@@ -221,7 +238,7 @@ def gbp_sweep(state: GBPState, graph: GBPGraph, cfg: GBPConfig) -> GBPState:
     )
 
     # --- belief update (reduce) ---
-    return update_beliefs(state, graph)
+    return update_beliefs(state, graph, axis_name)
 
 
 # ---------------------------------------------------------------------------
@@ -236,7 +253,9 @@ class Diagnostics(NamedTuple):
     n_robust: jax.Array     # edges with Huber active
 
 
-def reprojection_error(state: GBPState, graph: GBPGraph) -> tuple[jax.Array, jax.Array]:
+def reprojection_error(
+    state: GBPState, graph: GBPGraph, axis_name: str | None = None
+) -> tuple[jax.Array, jax.Array]:
     """Mean reprojection residual norm and total cost over active edges."""
     mu_c = linalg.inf_to_mu(state.cam_eta[graph.cam_idx],
                             state.cam_lam[graph.cam_idx])
@@ -246,18 +265,28 @@ def reprojection_error(state: GBPState, graph: GBPGraph) -> tuple[jax.Array, jax
     r = graph.meas - pred
     norm = jnp.linalg.norm(r, axis=-1)
     active = (state.active > 0).astype(norm.dtype)
-    n_active = jnp.maximum(jnp.sum(active), 1.0)
-    mean_err = jnp.sum(norm * active) / n_active
-    cost = 0.5 * jnp.sum(norm * norm * active)
+    norm = jnp.where(state.active > 0, norm, 0.0)
+    n_active = jnp.sum(active)
+    sum_norm = jnp.sum(norm)
+    cost = 0.5 * jnp.sum(norm * norm)
+    if axis_name is not None:
+        n_active, sum_norm, cost = jax.lax.psum(
+            (n_active, sum_norm, cost), axis_name)
+    mean_err = sum_norm / jnp.maximum(n_active, 1.0)
     return mean_err, cost
 
 
-def diagnostics(state: GBPState, graph: GBPGraph, cfg: GBPConfig) -> Diagnostics:
-    err, cost = reprojection_error(state, graph)
+def diagnostics(
+    state: GBPState, graph: GBPGraph, cfg: GBPConfig,
+    axis_name: str | None = None,
+) -> Diagnostics:
+    err, cost = reprojection_error(state, graph, axis_name)
     n_relins = jnp.sum(
         (state.damping_count == -cfg.num_undamped_iters).astype(jnp.int32)
         * state.active.astype(jnp.int32))
-    n_robust = jnp.sum(state.robust.astype(jnp.int32))
+    n_robust = jnp.sum((state.robust & (state.active > 0)).astype(jnp.int32))
+    if axis_name is not None:
+        n_relins, n_robust = jax.lax.psum((n_relins, n_robust), axis_name)
     return Diagnostics(err, cost, n_relins, n_robust)
 
 
@@ -265,23 +294,28 @@ def diagnostics(state: GBPState, graph: GBPGraph, cfg: GBPConfig) -> Diagnostics
 # full solves
 # ---------------------------------------------------------------------------
 
-def initialise(state: GBPState, graph: GBPGraph, cfg: GBPConfig) -> GBPState:
+def initialise(
+    state: GBPState, graph: GBPGraph, cfg: GBPConfig,
+    axis_name: str | None = None,
+) -> GBPState:
     """WRITE + LINEARISE: beliefs <- priors, then linearise every factor
     (reference: ba/ba.cpp:982-987)."""
-    state = update_beliefs(state, graph)
+    state = update_beliefs(state, graph, axis_name)
     return linearise_all(state, graph, cfg)
 
 
 def iteration(
-    state: GBPState, graph: GBPGraph, cfg: GBPConfig, i: jax.Array
+    state: GBPState, graph: GBPGraph, cfg: GBPConfig, i: jax.Array,
+    axis_name: str | None = None,
 ) -> GBPState:
     """One scheduled solver iteration: weaken priors on every 2nd iteration
     (flag-gated, so annealing self-terminates after `steps` applications;
     reference: ba/ba.cpp:1003-1006), then one GBP sweep."""
     do_weaken = (i + 1) % 2 == 0
     state = jax.lax.cond(
-        do_weaken, lambda s: weaken_priors(s, graph), lambda s: s, state)
-    return gbp_sweep(state, graph, cfg)
+        do_weaken, lambda s: weaken_priors(s, graph, axis_name),
+        lambda s: s, state)
+    return gbp_sweep(state, graph, cfg, axis_name)
 
 
 def run_gbp(
@@ -291,6 +325,7 @@ def run_gbp(
     n_iters: int,
     with_diagnostics: bool = True,
     iter_offset: jax.Array | int = 0,
+    axis_name: str | None = None,
 ):
     """Run `n_iters` GBP iterations as one lax.scan on device.
 
@@ -300,8 +335,8 @@ def run_gbp(
     """
 
     def body(s, i):
-        s = iteration(s, graph, cfg, i + iter_offset)
-        out = diagnostics(s, graph, cfg) if with_diagnostics else None
+        s = iteration(s, graph, cfg, i + iter_offset, axis_name)
+        out = diagnostics(s, graph, cfg, axis_name) if with_diagnostics else None
         return s, out
 
     return jax.lax.scan(body, state, jnp.arange(n_iters))
@@ -312,8 +347,9 @@ def solve(
     graph: GBPGraph,
     cfg: GBPConfig,
     n_iters: int | None = None,
+    axis_name: str | None = None,
 ):
     """Full batch-BA solve: initialise + scan. Jit-compatible end to end."""
     n = cfg.n_iters if n_iters is None else n_iters
-    state = initialise(problem_state, graph, cfg)
-    return run_gbp(state, graph, cfg, n)
+    state = initialise(problem_state, graph, cfg, axis_name)
+    return run_gbp(state, graph, cfg, n, axis_name=axis_name)

@@ -1,0 +1,117 @@
+"""Sharded solver == single-device solver, numerically.
+
+Runs on the virtual 8-device CPU mesh configured in conftest.py. The sharded
+path reuses the exact single-chip sweep code with one psum added to the
+belief reduction, so results should agree to float32 reduction-order noise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gbp_poplar_tpu.config import GBPConfig
+from gbp_poplar_tpu.core import build_graph, init_state, gbp
+from gbp_poplar_tpu.parallel import (
+    make_mesh, make_sharded_solver, pad_edges,
+)
+
+
+@pytest.fixture(scope="module")
+def problem(synthetic):
+    return synthetic
+
+
+def _solve_single(problem, cfg, n_iters):
+    graph = build_graph(problem, cfg)
+    state = init_state(problem, cfg)
+    run = jax.jit(lambda s: gbp.solve(s, graph, cfg, n_iters=n_iters))
+    return run(state)
+
+
+def _solve_sharded(problem, cfg, n_iters, n_devices):
+    mesh = make_mesh(n_devices)
+    solver = make_sharded_solver(mesh, cfg)
+    graph = build_graph(problem, cfg)
+    state = init_state(problem, cfg)
+    graph, state = solver.prepare(graph, state)
+    return solver.solve(state, graph, n_iters)
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_single_sweep_close(problem, n_devices):
+    """One initialise + sweep: sharded == single up to fp32 psum
+    reduction-order noise (partial per-shard segment sums are summed in a
+    different order than one global segment_sum)."""
+    assert len(jax.devices()) >= n_devices, "conftest should force 8 CPU devices"
+    cfg = GBPConfig()
+    graph = build_graph(problem, cfg)
+    state = init_state(problem, cfg)
+    s1 = gbp.gbp_sweep(gbp.initialise(state, graph, cfg), graph, cfg)
+
+    mesh = make_mesh(n_devices)
+    solver = make_sharded_solver(mesh, cfg)
+    g2, st2 = solver.prepare(graph, state)
+    s2 = solver.sweep(solver.initialise(st2, g2), g2)
+
+    scale = np.abs(np.asarray(s1.cam_eta)).max()
+    np.testing.assert_allclose(
+        np.asarray(s2.cam_eta) / scale, np.asarray(s1.cam_eta) / scale,
+        atol=1e-5)
+    e = problem.n_edges
+    mscale = np.abs(np.asarray(s1.msg_c_eta)).max()
+    np.testing.assert_allclose(
+        np.asarray(s2.msg_c_eta)[:e] / mscale,
+        np.asarray(s1.msg_c_eta) / mscale, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_converges_like_single(problem, n_devices):
+    """Full solve: the discrete relin/robust state machine makes long fp32
+    runs bitwise-divergent between reduction orders, so compare converged
+    solution quality, not raw state."""
+    cfg = GBPConfig()
+    n_iters = 80
+    _, diag_s = _solve_single(problem, cfg, n_iters)
+    _, diag_p = _solve_sharded(problem, cfg, n_iters, n_devices)
+
+    err_s = np.asarray(diag_s.reproj_err)
+    err_p = np.asarray(diag_p.reproj_err)
+    assert np.isfinite(err_p).all()
+    # same converged reprojection error (px) within a few percent
+    tail_s, tail_p = err_s[-10:].mean(), err_p[-10:].mean()
+    assert abs(tail_p - tail_s) < 0.05 * max(tail_s, 1e-3) + 5e-3
+
+
+def test_padding_is_inert(problem):
+    """Padded inactive edges contribute nothing to beliefs."""
+    cfg = GBPConfig()
+    graph = build_graph(problem, cfg)
+    state = init_state(problem, cfg)
+    graph_p, state_p, pad = pad_edges(graph, state, 7)
+    assert pad > 0 and graph_p.n_edges % 7 == 0
+
+    run = jax.jit(lambda s, g: gbp.solve(s, g, cfg, n_iters=10))
+    final_a, diag_a = run(state, graph)
+    final_b, diag_b = run(state_p, graph_p)
+    np.testing.assert_allclose(
+        np.asarray(diag_b.reproj_err), np.asarray(diag_a.reproj_err),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(final_b.cam_eta), np.asarray(final_a.cam_eta),
+        rtol=1e-5, atol=1e-5)
+    # padding edges never emitted a message
+    assert np.all(np.asarray(final_b.msg_c_eta)[problem.n_edges:] == 0.0)
+
+
+def test_sharded_sweep_and_init(problem):
+    """Piecewise entry points (initialise + sweep) compose like solve."""
+    cfg = GBPConfig()
+    mesh = make_mesh(4)
+    solver = make_sharded_solver(mesh, cfg)
+    graph = build_graph(problem, cfg)
+    state = init_state(problem, cfg)
+    graph, state = solver.prepare(graph, state)
+    state = solver.initialise(state, graph)
+    state = solver.sweep(state, graph)
+    assert np.isfinite(np.asarray(state.cam_eta)).all()
