@@ -40,6 +40,9 @@ class GBPGraph(NamedTuple):
     k: jax.Array            # [3, 3] shared intrinsics
     cam_scaling: jax.Array  # [C] prior-annealing scaling per keyframe
     lmk_scaling: jax.Array  # [L] prior-annealing scaling per landmark
+    first_kf: jax.Array     # [L] int32 — first keyframe observing each
+                            # landmark (n_keyframes if never observed); drives
+                            # on-device SLAM keyframe insertion (core/slam.py)
 
     @property
     def n_keyframes(self) -> int:
@@ -99,6 +102,9 @@ def build_graph(
     problem: BAProblem, cfg: GBPConfig, dtype=jnp.float32
 ) -> GBPGraph:
     pr = priors_lib.build_priors(problem, cfg, dtype)
+    first_kf = np.full(problem.n_points, problem.n_keyframes, np.int32)
+    np.minimum.at(first_kf, problem.lmk_idx.astype(np.int64),
+                  problem.cam_idx.astype(np.int32))
     return GBPGraph(
         cam_idx=jnp.asarray(problem.cam_idx.astype(np.int32)),
         lmk_idx=jnp.asarray(problem.lmk_idx.astype(np.int32)),
@@ -107,6 +113,7 @@ def build_graph(
         k=jnp.asarray(problem.k, dtype),
         cam_scaling=pr["cam_scaling"],
         lmk_scaling=pr["lmk_scaling"],
+        first_kf=jnp.asarray(first_kf),
     )
 
 

@@ -1,0 +1,187 @@
+"""Incremental SLAM: keyframe-at-a-time growth of the factor graph.
+
+The reference `slam` binary (ba/slam.cpp:479-1135) pre-builds the full graph
+and grows the *active* problem with flags: every `iters_between_kfs`
+iterations it activates the next keyframe's edges, hands the new keyframe a
+prior centred on the previous keyframe's converged belief, places
+newly-observed landmarks at depth `av_depth` on the previous keyframe's
+optic axis, restarts the undamped phase, and streams it all back to the
+device (READ_PRIORS / NEW_KEYFRAME round-trip, slam.cpp:1018-1047).
+
+Here insertion is one jittable function on the device-resident state — no
+host round-trip: the flag updates are pure functions of (new_kf, static
+graph indices) and the prior handoff reads the previous keyframe's belief
+directly. The per-segment GBP run is the same `lax.scan` as batch BA.
+
+The reference's out-of-bounds flag indexing in ``initialise_new_kf``
+(ba/util.cpp:215) is not replicated; newly-observed landmarks are identified
+exactly via ``graph.first_kf`` (intent of the flag==steps test).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GBPConfig
+from ..ops import lie, linalg, projection
+from . import gbp
+from .factor_graph import GBPGraph, GBPState
+
+
+def insert_keyframe(
+    state: GBPState,
+    graph: GBPGraph,
+    cfg: GBPConfig,
+    new_kf: jax.Array | int,
+    av_depth: float = 1.0,
+    axis_name: str | None = None,
+) -> GBPState:
+    """Activate keyframe `new_kf`'s edges and hand off priors.
+
+    Jit-compatible (``new_kf`` may be traced). Mirrors the intent of
+    update_flags (ba/dataio.cpp:477-508) + initialise_new_kf
+    (ba/util.cpp:183-223) + the damping restart (ba/slam.cpp:1039-1041).
+    """
+    new_kf = jnp.asarray(new_kf, jnp.int32)
+    dtype = state.cam_eta.dtype
+
+    # --- activate the new keyframe's edges ---
+    newly_active = graph.cam_idx == new_kf                       # [E]
+    active = jnp.where(newly_active, 1, state.active)
+
+    # --- new keyframe prior <- previous keyframe's belief mean ---
+    mu_prev = linalg.inf_to_mu(state.cam_eta[new_kf - 1],
+                               state.cam_lam[new_kf - 1])        # [6]
+    new_cam_eta = linalg.bmv(state.cam_prior_lam[new_kf], mu_prev)
+    cam_prior_eta = state.cam_prior_eta.at[new_kf].set(
+        new_cam_eta.astype(dtype))
+
+    # --- newly observed landmarks: prior mean at depth `av_depth` on the
+    # previous keyframe's optic axis (ba/util.cpp:198-211) ---
+    new_lmk = graph.first_kf == new_kf                           # [L]
+    y_axis = lie.optic_axis_point_world(mu_prev, av_depth)       # [3]
+    new_lmk_eta = linalg.bmv(state.lmk_prior_lam,
+                             jnp.broadcast_to(y_axis, state.lmk_prior_eta.shape))
+    lmk_prior_eta = jnp.where(new_lmk[:, None], new_lmk_eta,
+                              state.lmk_prior_eta)
+
+    # --- weaken schedule: only the new keyframe + its new landmarks ---
+    cam_weaken = jnp.where(jnp.arange(graph.n_keyframes) == new_kf,
+                           cfg.steps, state.cam_weaken)
+    lmk_weaken = jnp.where(new_lmk, cfg.steps, state.lmk_weaken)
+
+    # --- restart the undamped phase everywhere (ba/slam.cpp:1039-1041) ---
+    damping = jnp.zeros_like(state.damping)
+    damping_count = jnp.full_like(state.damping_count,
+                                  -cfg.iters_before_damping)
+
+    state = state._replace(
+        active=active.astype(state.active.dtype),
+        cam_prior_eta=cam_prior_eta,
+        lmk_prior_eta=lmk_prior_eta,
+        cam_weaken=cam_weaken.astype(state.cam_weaken.dtype),
+        lmk_weaken=lmk_weaken.astype(state.lmk_weaken.dtype),
+        damping=damping,
+        damping_count=damping_count,
+    )
+
+    # Refresh beliefs with the new priors (NEW_KEYFRAME runs prog_ub,
+    # slam.cpp:946-948), then linearise the just-activated factors at them.
+    state = gbp.update_beliefs(state, graph, axis_name)
+    return _linearise_masked(state, graph, cfg, newly_active)
+
+
+def _linearise_masked(
+    state: GBPState, graph: GBPGraph, cfg: GBPConfig, mask: jax.Array
+) -> GBPState:
+    """Relinearise only the edges in `mask` at current belief means."""
+    mu_c = linalg.inf_to_mu(state.cam_eta[graph.cam_idx],
+                            state.cam_lam[graph.cam_idx])
+    mu_l = linalg.inf_to_mu(state.lmk_eta[graph.lmk_idx],
+                            state.lmk_lam[graph.lmk_idx])
+    pot, robust = projection.linearise_factor(
+        mu_c, mu_l, graph.k, graph.meas, graph.meas_var, cfg.huber_nstds)
+    mu = jnp.concatenate([mu_c, mu_l], axis=-1)
+
+    def sel(new, old):
+        m = mask.reshape(mask.shape + (1,) * (new.ndim - 1))
+        return jnp.where(m, new, old)
+
+    return state._replace(
+        f_eta_c=sel(pot.eta_c, state.f_eta_c),
+        f_eta_l=sel(pot.eta_l, state.f_eta_l),
+        f_lam_cc=sel(pot.lam_cc, state.f_lam_cc),
+        f_lam_cl=sel(pot.lam_cl, state.f_lam_cl),
+        f_lam_ll=sel(pot.lam_ll, state.f_lam_ll),
+        lin_mu=sel(mu, state.lin_mu),
+        mu=sel(mu, state.mu),
+        robust=jnp.where(mask, robust, state.robust),
+    )
+
+
+class SlamResult(NamedTuple):
+    state: GBPState
+    reproj_err: np.ndarray   # [n_segments, iters_between_kfs]
+    cost: np.ndarray
+    n_relins: np.ndarray
+    n_robust: np.ndarray
+
+
+def solve_slam(
+    state: GBPState,
+    graph: GBPGraph,
+    cfg: GBPConfig,
+    n_keyframes: int | None = None,
+    iters_between_kfs: int | None = None,
+    av_depth: float = 1.0,
+    with_diagnostics: bool = True,
+    progress=None,
+) -> SlamResult:
+    """Full incremental solve.
+
+    `state` must be initialised with SLAM flags (utils/flags.create_flags:
+    keyframes 0 and 1 active). Runs `iters_between_kfs` GBP iterations per
+    segment, inserting keyframe k+1 after segment k — the host loop only
+    sequences jitted segments (compile once, reuse per keyframe), matching
+    the reference's schedule niters = (n_kf-1)*iters_between_kfs - 1
+    (slam.cpp:1013-1047) with insertion at segment boundaries.
+    """
+    n_kf = graph.n_keyframes if n_keyframes is None else n_keyframes
+    ibk = cfg.iters_between_kfs if iters_between_kfs is None else iters_between_kfs
+
+    @jax.jit
+    def segment(s):
+        return gbp.run_gbp(s, graph, cfg, ibk,
+                           with_diagnostics=with_diagnostics)
+
+    @jax.jit
+    def insert(s, k):
+        return insert_keyframe(s, graph, cfg, k, av_depth)
+
+    state = jax.jit(
+        lambda s: gbp.initialise(s, graph, cfg))(state)
+
+    # Segment k (k = 1..n_kf-1) runs with keyframes 0..k active; keyframe
+    # k+1 is inserted at the segment boundary, so the last segment refines
+    # the fully-activated graph — (n_kf-1) segments total, matching the
+    # reference's niters = (n_kf-1) * iters_between_kfs (slam.cpp:1013).
+    errs, costs, relins, robusts = [], [], [], []
+    for k in range(1, n_kf):
+        state, diag = segment(state)
+        if with_diagnostics:
+            errs.append(np.asarray(diag.reproj_err))
+            costs.append(np.asarray(diag.cost))
+            relins.append(np.asarray(diag.n_relins))
+            robusts.append(np.asarray(diag.n_robust))
+            if progress is not None:
+                progress(k, errs[-1])
+        if k + 1 < n_kf:
+            state = insert(state, k + 1)
+
+    stack = (lambda xs: np.stack(xs) if xs else np.zeros((0, ibk)))
+    return SlamResult(state=state, reproj_err=stack(errs), cost=stack(costs),
+                      n_relins=stack(relins), n_robust=stack(robusts))

@@ -1,0 +1,176 @@
+"""Batch bundle-adjustment driver (TPU equivalent of the reference `ba`
+binary, ba/ba.cpp:479-1085).
+
+    python -m gbp_poplar_tpu.drivers.ba --bal_file fr1xyz --n_iters 1500
+
+Unlike the reference — which streams every belief to the host every
+iteration (ba/ba.cpp:1009) — the solve runs on device in jitted chunks of
+`--print_every` iterations and only the per-iteration scalar telemetry is
+fetched.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..config import GBPConfig
+from ..core import build_graph, gbp, init_state
+from ..utils import analysis, balio, checkpoint, evaluation, priors
+from . import common
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="GBP bundle adjustment (batch) on TPU")
+    common.add_common_args(p)
+    p.add_argument("--n_iters", type=int, default=1500)
+    p.add_argument("--gn_check", action="store_true",
+                   help="also run the Gauss-Newton/Schur baseline and "
+                        "report agreement")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax
+
+    cfg, init_cfg = common.config_from_args(args)
+
+    problem = balio.load_bal(args.bal_file)
+    problem = priors.apply_init_noise(problem, init_cfg,
+                                      k_anchor=cfg.num_anchor_cams)
+    print(f"{args.bal_file}: {problem.n_keyframes} keyframes, "
+          f"{problem.n_points} landmarks, {problem.n_edges} edges",
+          file=sys.stderr)
+
+    graph = build_graph(problem, cfg)
+    if args.resume:
+        state, g2, meta = checkpoint.load_checkpoint(args.resume)
+        if g2 is not None:
+            graph = g2
+        start_iter = meta.get("step", 0)
+        print(f"resumed from {args.resume} at iter {start_iter}",
+              file=sys.stderr)
+    else:
+        state = init_state(problem, cfg)
+        start_iter = 0
+
+    solver = _make_solver(graph, cfg, args.devices)
+    state = solver.prep(state)
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile_dir)
+
+    t0 = time.perf_counter()
+    if start_iter == 0:
+        state = solver.initialise(state)
+    chunk = max(1, args.print_every)
+    i = start_iter
+    while i < args.n_iters:
+        n = min(chunk, args.n_iters - i)
+        state, diag = solver.run(state, n, i)
+        errs = np.asarray(diag.reproj_err)
+        costs = np.asarray(diag.cost)
+        relins = np.asarray(diag.n_relins)
+        robusts = np.asarray(diag.n_robust)
+        for j in range(n):
+            common.print_iteration(i + j, errs[j], costs[j],
+                                   int(relins[j]), int(robusts[j]))
+        i += n
+        if args.checkpoint and args.checkpoint_every and (
+                i % args.checkpoint_every < chunk):
+            checkpoint.save_checkpoint(args.checkpoint, solver.unprep(state),
+                                       graph, step=i, cfg=cfg)
+    jax.block_until_ready(state.cam_eta)
+    dt = time.perf_counter() - t0
+    print(f"total {dt:.3f}s, {(args.n_iters - start_iter) / dt:.1f} sweeps/s",
+          file=sys.stderr)
+
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"profile written to {args.profile_dir}", file=sys.stderr)
+
+    state = solver.unprep(state)
+    cam_mu, lmk_mu = analysis.belief_means(state)
+    if args.v:
+        np.set_printoptions(precision=5, suppress=True)
+        print("cam means:\n", cam_mu)
+    if args.save_traj:
+        evaluation.export_tum(args.save_traj, cam_mu)
+        print(f"trajectory written to {args.save_traj}", file=sys.stderr)
+    if args.checkpoint:
+        checkpoint.save_checkpoint(args.checkpoint, state, graph,
+                                   step=args.n_iters, cfg=cfg)
+        print(f"checkpoint written to {args.checkpoint}", file=sys.stderr)
+
+    if args.gn_check:
+        from ..core import gauss_newton as gn
+        res = gn.solve_problem(problem, cfg, n_lm_iters=30)
+        ate = evaluation.ate_rmse(cam_mu, np.asarray(res.cam))
+        print(f"GN baseline: reproj_err {float(res.reproj_err[-1]):.5f} px, "
+              f"ATE(GBP vs GN) {ate:.6f} m", file=sys.stderr)
+    return 0
+
+
+class _SingleChip:
+    def __init__(self, graph, cfg):
+        import jax
+        from functools import partial
+        self._graph = graph
+        self.initialise = jax.jit(lambda s: gbp.initialise(s, graph, cfg))
+        self._run = partial(jax.jit, static_argnums=1)(
+            lambda s, n, off: gbp.run_gbp(s, graph, cfg, n, iter_offset=off))
+
+    def prep(self, state):
+        return state
+
+    def unprep(self, state):
+        return state
+
+    def run(self, state, n, offset):
+        return self._run(state, n, offset)
+
+
+class _Sharded:
+    def __init__(self, graph, cfg, n_devices):
+        from ..parallel import make_mesh, make_sharded_solver
+        self._mesh = make_mesh(n_devices)
+        self._solver = make_sharded_solver(self._mesh, cfg)
+        self._graph_raw = graph
+        self._graph = None
+        self._n_edges = graph.n_edges
+
+    def prep(self, state):
+        self._graph, state = self._solver.prepare(self._graph_raw, state)
+        return state
+
+    def unprep(self, state):
+        import jax
+
+        e = self._n_edges
+        return state._replace(**{
+            f: jax.device_get(getattr(state, f))[:e]
+            for f in ("f_eta_c", "f_eta_l", "f_lam_cc", "f_lam_cl",
+                      "f_lam_ll", "msg_c_eta", "msg_c_lam", "msg_l_eta",
+                      "msg_l_lam", "damping", "damping_count", "mu",
+                      "lin_mu", "robust", "active")})
+
+    def initialise(self, state):
+        return self._solver.initialise(state, self._graph)
+
+    def run(self, state, n, offset):
+        return self._solver.run(state, self._graph, n, offset)
+
+
+def _make_solver(graph, cfg: GBPConfig, n_devices: int):
+    if n_devices <= 1:
+        return _SingleChip(graph, cfg)
+    return _Sharded(graph, cfg, n_devices)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

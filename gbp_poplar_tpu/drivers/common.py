@@ -1,0 +1,95 @@
+"""Shared CLI plumbing for the ba/slam drivers.
+
+Flag names follow the reference CLIs (ba/ba.cpp:394-476, slam.cpp:414-417)
+so command lines port over mechanically; additions (checkpointing, sharding,
+trajectory export, profiling) are new capabilities the reference lacks.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..config import GBPConfig, InitConfig
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--bal_file", required=True,
+                   help="BAL-format file or sequence name (e.g. fr1xyz)")
+    p.add_argument("--tn", type=float, default=0.0,
+                   help="keyframe translation noise std (m)")
+    p.add_argument("--rn", type=float, default=0.0,
+                   help="keyframe rotation noise std (degrees)")
+    p.add_argument("--ltn", type=float, default=0.0,
+                   help="landmark translation noise std (m)")
+    p.add_argument("--avdepth_on", action="store_true",
+                   help="initialise landmarks at --avdepth on the first "
+                        "observing keyframe's optic axis")
+    p.add_argument("--avdepth", type=float, default=1.0)
+    p.add_argument("--reproj_meas_var", type=float, default=4.0,
+                   help="measurement variance (px^2)")
+    p.add_argument("--prior_std_weaker_factor", type=float, default=100.0)
+    p.add_argument("--first_cam_prior_std", type=float, default=0.01)
+    p.add_argument("--steps", type=int, default=5,
+                   help="prior-annealing steps")
+    p.add_argument("--undamped_start", type=int, default=15,
+                   help="undamped iterations before damping activates")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--v", action="store_true", help="verbose belief dumps")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace to --profile_dir")
+    p.add_argument("--profile_dir", default="/tmp/gbp_profile")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard the edge axis over this many devices")
+    p.add_argument("--save_traj", default=None,
+                   help="write final TUM trajectory here")
+    p.add_argument("--checkpoint", default=None,
+                   help="write a checkpoint here at the end (and every "
+                        "--checkpoint_every iters)")
+    p.add_argument("--checkpoint_every", type=int, default=0)
+    p.add_argument("--resume", default=None,
+                   help="resume from a checkpoint file")
+    p.add_argument("--print_every", type=int, default=1,
+                   help="print telemetry every N iterations")
+    p.add_argument("--relin_drift", type=float, default=None,
+                   help="relinearise when the belief mean drifts this far "
+                        "from the linearisation point (stability extension; "
+                        "<=0 disables, reference behaviour)")
+    p.add_argument("--lambda_damping", dest="lambda_damping",
+                   action="store_true", default=None,
+                   help="damp Lambda messages too (PSD-preserving; the "
+                        "reference damps only eta)")
+    p.add_argument("--no_lambda_damping", dest="lambda_damping",
+                   action="store_false")
+
+
+def config_from_args(
+    args,
+    default_relin_drift: float = 0.0,
+    default_lambda_damping: bool = False,
+) -> tuple[GBPConfig, InitConfig]:
+    relin_drift = (default_relin_drift if args.relin_drift is None
+                   else args.relin_drift)
+    lambda_damping = (default_lambda_damping if args.lambda_damping is None
+                      else args.lambda_damping)
+    cfg = GBPConfig(
+        meas_var=args.reproj_meas_var,
+        prior_std_weaker_factor=args.prior_std_weaker_factor,
+        first_cam_prior_std=args.first_cam_prior_std,
+        steps=args.steps,
+        iters_before_damping=args.undamped_start,
+        n_iters=getattr(args, "n_iters", 1500),
+        iters_between_kfs=getattr(args, "iters_between_kfs", 700),
+        relin_drift_threshold=relin_drift,
+        lambda_damping=lambda_damping,
+    )
+    init_cfg = InitConfig(
+        trans_noise=args.tn, rot_noise=args.rn, lmk_noise=args.ltn,
+        av_depth_on=args.avdepth_on, av_depth=args.avdepth, seed=args.seed)
+    return cfg, init_cfg
+
+
+def print_iteration(i: int, err: float, cost: float,
+                    n_relins: int, n_robust: int) -> None:
+    # telemetry line format follows the reference (ba/ba.cpp:1026-1028)
+    print(f"iter {i:5d}  reproj_err {err:10.5f} px  cost {cost:14.4f}  "
+          f"relins {n_relins:5d}  robust {n_robust:5d}", flush=True)

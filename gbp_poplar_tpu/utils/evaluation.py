@@ -1,0 +1,119 @@
+"""Trajectory evaluation: camera centres, Umeyama alignment, ATE, TUM export.
+
+The reference repo prints only reprojection error (ba/ba.cpp:1022-1028); its
+BASELINE targets are stated in ATE, so this module provides the standard
+trajectory metrics (absolute trajectory error after rigid/similarity
+alignment) plus TUM-format export for external tooling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import lie
+
+
+def camera_centers(cam_means: np.ndarray) -> np.ndarray:
+    """World-frame camera centres -R^T t from [C, 6] (t, w) w2c poses."""
+    import jax.numpy as jnp
+
+    cams = jnp.asarray(cam_means)
+    r, t = lie.pose_to_rt(cams)
+    centers = -jnp.einsum("...ji,...j->...i", r, t)
+    return np.asarray(centers)
+
+
+def umeyama_align(
+    src: np.ndarray, dst: np.ndarray, with_scale: bool = False
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Least-squares similarity/rigid transform aligning src -> dst.
+
+    Returns (R, t, s) with ``dst ~= s * R @ src + t`` (Umeyama 1991).
+    """
+    mu_s = src.mean(axis=0)
+    mu_d = dst.mean(axis=0)
+    xs = src - mu_s
+    xd = dst - mu_d
+    cov = xd.T @ xs / src.shape[0]
+    u, d, vt = np.linalg.svd(cov)
+    s_mat = np.eye(3)
+    if np.linalg.det(u) * np.linalg.det(vt) < 0:
+        s_mat[2, 2] = -1.0
+    r = u @ s_mat @ vt
+    if with_scale:
+        var_s = (xs * xs).sum() / src.shape[0]
+        scale = float(np.trace(np.diag(d) @ s_mat) / var_s)
+    else:
+        scale = 1.0
+    t = mu_d - scale * r @ mu_s
+    return r, t, scale
+
+
+def ate_rmse(
+    est_cam_means: np.ndarray,
+    ref_cam_means: np.ndarray,
+    align: bool = True,
+    with_scale: bool = False,
+) -> float:
+    """Absolute trajectory error (RMSE of camera centres, metres)."""
+    est = camera_centers(np.asarray(est_cam_means))
+    ref = camera_centers(np.asarray(ref_cam_means))
+    if align:
+        r, t, s = umeyama_align(est, ref, with_scale)
+        est = (s * (r @ est.T)).T + t
+    d = est - ref
+    return float(np.sqrt((d * d).sum(axis=-1).mean()))
+
+
+def _rot_to_quat(r: np.ndarray) -> np.ndarray:
+    """[..., 3, 3] -> [..., 4] quaternion (x, y, z, w), TUM convention."""
+    m = r
+    t = np.trace(m)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        w = 0.25 * s
+        x = (m[2, 1] - m[1, 2]) / s
+        y = (m[0, 2] - m[2, 0]) / s
+        z = (m[1, 0] - m[0, 1]) / s
+    elif m[0, 0] > m[1, 1] and m[0, 0] > m[2, 2]:
+        s = np.sqrt(1.0 + m[0, 0] - m[1, 1] - m[2, 2]) * 2
+        w = (m[2, 1] - m[1, 2]) / s
+        x = 0.25 * s
+        y = (m[0, 1] + m[1, 0]) / s
+        z = (m[0, 2] + m[2, 0]) / s
+    elif m[1, 1] > m[2, 2]:
+        s = np.sqrt(1.0 + m[1, 1] - m[0, 0] - m[2, 2]) * 2
+        w = (m[0, 2] - m[2, 0]) / s
+        x = (m[0, 1] + m[1, 0]) / s
+        y = 0.25 * s
+        z = (m[1, 2] + m[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + m[2, 2] - m[0, 0] - m[1, 1]) * 2
+        w = (m[1, 0] - m[0, 1]) / s
+        x = (m[0, 2] + m[2, 0]) / s
+        y = (m[1, 2] + m[2, 1]) / s
+        z = 0.25 * s
+    return np.array([x, y, z, w])
+
+
+def export_tum(
+    path: str, cam_means: np.ndarray, timestamps: np.ndarray | None = None
+) -> None:
+    """Write a TUM-format trajectory: `t x y z qx qy qz qw` per keyframe.
+
+    Poses are converted to camera-to-world (the TUM convention).
+    """
+    import jax.numpy as jnp
+
+    cams = np.asarray(cam_means)
+    r_w2c = np.asarray(lie.so3_exp(jnp.asarray(cams[:, 3:6])))
+    centers = camera_centers(cams)
+    if timestamps is None:
+        timestamps = np.arange(cams.shape[0], dtype=np.float64)
+    with open(path, "w") as f:
+        for i in range(cams.shape[0]):
+            q = _rot_to_quat(r_w2c[i].T)  # c2w rotation
+            c = centers[i]
+            f.write(
+                f"{timestamps[i]:.6f} {c[0]:.9f} {c[1]:.9f} {c[2]:.9f} "
+                f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}\n")

@@ -1,0 +1,93 @@
+"""Auxiliary subsystems: checkpoint round-trip, ATE/alignment, KL, analysis."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gbp_poplar_tpu.config import GBPConfig
+from gbp_poplar_tpu.core import build_graph, init_state, gbp
+from gbp_poplar_tpu.utils import analysis, checkpoint, evaluation
+
+
+def test_checkpoint_roundtrip_and_resume(synthetic, tmp_path):
+    """Checkpoint mid-solve, resume, and land bit-exactly where an
+    uninterrupted run lands."""
+    cfg = GBPConfig()
+    graph = build_graph(synthetic, cfg)
+    state = init_state(synthetic, cfg)
+    state = gbp.initialise(state, graph, cfg)
+
+    run = jax.jit(lambda s, off: gbp.run_gbp(s, graph, cfg, 10,
+                                             iter_offset=off)[0])
+    mid = run(state, 0)
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save_checkpoint(path, mid, graph, step=10, cfg=cfg)
+
+    mid2, graph2, meta = checkpoint.load_checkpoint(path)
+    assert meta["step"] == 10
+    cfg2 = checkpoint.load_config(meta)
+    assert cfg2 == cfg
+    for f in type(mid)._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(mid, f)),
+                                      np.asarray(getattr(mid2, f)), err_msg=f)
+
+    final_a = run(run(state, 0), 10)
+    final_b = run(mid2, 10)
+    np.testing.assert_array_equal(np.asarray(final_a.cam_eta),
+                                  np.asarray(final_b.cam_eta))
+
+
+def test_ate_zero_for_identical_and_aligned():
+    rng = np.random.default_rng(0)
+    cams = rng.normal(0, 0.5, (10, 6))
+    assert evaluation.ate_rmse(cams, cams, align=False) == 0.0
+
+    # a rigidly transformed trajectory aligns back to ATE ~ 0
+    centers = evaluation.camera_centers(cams)
+    r, _, _ = evaluation.umeyama_align(
+        rng.normal(0, 1, (4, 3)), rng.normal(0, 1, (4, 3)))  # random rotation
+    moved = (r @ centers.T).T + np.array([1.0, -2.0, 3.0])
+    rr, tt, ss = evaluation.umeyama_align(moved, centers)
+    back = (ss * (rr @ moved.T)).T + tt
+    assert np.abs(back - centers).max() < 1e-7
+
+
+def test_export_tum(tmp_path, synthetic):
+    path = str(tmp_path / "traj.txt")
+    evaluation.export_tum(path, synthetic.cam_means)
+    rows = np.loadtxt(path)
+    assert rows.shape == (synthetic.n_keyframes, 8)
+    # quaternions are unit
+    q = rows[:, 4:8]
+    np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-6)
+
+
+def test_kl_divergence_properties():
+    rng = np.random.default_rng(1)
+    a = rng.normal(0, 1, (5, 3, 3))
+    lam0 = jnp.asarray(a @ np.transpose(a, (0, 2, 1)) + 3 * np.eye(3))
+    eta0 = jnp.asarray(rng.normal(0, 1, (5, 3)))
+    # KL(p || p) == 0
+    np.testing.assert_allclose(
+        np.asarray(analysis.kl_divergence(eta0, lam0, eta0, lam0)),
+        0.0, atol=1e-4)
+    # KL >= 0 against a different Gaussian; symmetric_kl is symmetric
+    lam1 = lam0 * 1.5
+    eta1 = eta0 + 0.3
+    kl01 = np.asarray(analysis.kl_divergence(eta0, lam0, eta1, lam1))
+    assert (kl01 > 0).all()
+    s01 = np.asarray(analysis.symmetric_kl(eta0, lam0, eta1, lam1))
+    s10 = np.asarray(analysis.symmetric_kl(eta1, lam1, eta0, lam0))
+    np.testing.assert_allclose(s01, s10, rtol=1e-5)
+
+    # numpy mean-form oracle for the first element
+    l0, l1 = np.asarray(lam0[0]), np.asarray(lam1[0])
+    e0, e1 = np.asarray(eta0[0]), np.asarray(eta1[0])
+    s0, s1 = np.linalg.inv(l0), np.linalg.inv(l1)
+    m0, m1 = s0 @ e0, s1 @ e1
+    d = m1 - m0
+    kl_np = 0.5 * (np.trace(np.linalg.inv(s1) @ s0) + d @ l1 @ d - 3
+                   + np.log(np.linalg.det(s1) / np.linalg.det(s0)))
+    np.testing.assert_allclose(kl01[0], kl_np, rtol=1e-3)
