@@ -2,15 +2,22 @@
 
 The reference scatters per-node state across IPU tiles and wires vertices to
 remote tensor slices (reference: ba/ba.cpp:663-834). The TPU-native design is
-dense structure-of-arrays batching:
+dense structure-of-arrays batching in **plane layout** (ops/planes.py):
 
   - static graph structure (``GBPGraph``): edge->variable index arrays that
     drive gathers (replacing Poplar ``graph.connect`` to remote slices) and
     segment-sums (replacing ``popops::reduceWithOutput``, ba/ba.cpp:104-139);
-  - mutable solver state (``GBPState``): one pytree of [C,...], [L,...] and
-    [E,...] arrays — beliefs, priors, factor potentials, messages, and the
-    damping/relinearisation state machine. The whole pytree lives on device
-    for the full solve; it is also the checkpoint format.
+  - mutable solver state (``GBPState``): one pytree of plane arrays —
+    beliefs, priors, factor potentials, messages, and the damping/
+    relinearisation state machine. The whole pytree lives on device for the
+    full solve; it is also the checkpoint format.
+
+Layout conventions (E = edges, C = keyframes, L = landmarks):
+  - per-edge vectors: [d, E]; symmetric matrices packed lower-triangular
+    row-major: 6x6 -> [21, E], 3x3 -> [6, E]; the 6x3 cross block is full
+    row-major [18, E]
+  - per-variable arrays mirror this with C/L as the trailing axis
+  - the edge/variable axis always rides the TPU lane dimension
 """
 
 from __future__ import annotations
@@ -22,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import GBPConfig
+from ..ops import planes as pl
 from ..utils import priors as priors_lib
 from ..utils.balio import BAProblem
 from ..utils.flags import SlamFlags, ba_flags
@@ -35,7 +43,7 @@ class GBPGraph(NamedTuple):
 
     cam_idx: jax.Array      # [E] int32 — keyframe id per edge
     lmk_idx: jax.Array      # [E] int32 — landmark id per edge
-    meas: jax.Array         # [E, 2] — observed pixel coords
+    meas: jax.Array         # [2, E] — observed pixel coords (u, v planes)
     meas_var: jax.Array     # [E] — base measurement variance (pre-Huber)
     k: jax.Array            # [3, 3] shared intrinsics
     cam_scaling: jax.Array  # [C] prior-annealing scaling per keyframe
@@ -65,37 +73,46 @@ class GBPState(NamedTuple):
     explicit p*_messages copies, ba/ba.cpp:902-905 — functionally identical).
     """
 
-    # beliefs
-    cam_eta: jax.Array        # [C, 6]
-    cam_lam: jax.Array        # [C, 6, 6]
-    lmk_eta: jax.Array        # [L, 3]
-    lmk_lam: jax.Array        # [L, 3, 3]
+    # beliefs (plane layout, variable axis last)
+    cam_eta: jax.Array        # [6, C]
+    cam_lam: jax.Array        # [21, C] packed sym
+    lmk_eta: jax.Array        # [3, L]
+    lmk_lam: jax.Array        # [6, L] packed sym
     # priors (slot 0 of the reference's message tensor, ba/ba.cpp:880-883)
-    cam_prior_eta: jax.Array  # [C, 6]
-    cam_prior_lam: jax.Array  # [C, 6, 6]
-    lmk_prior_eta: jax.Array  # [L, 3]
-    lmk_prior_lam: jax.Array  # [L, 3, 3]
+    cam_prior_eta: jax.Array  # [6, C]
+    cam_prior_lam: jax.Array  # [21, C]
+    lmk_prior_eta: jax.Array  # [3, L]
+    lmk_prior_lam: jax.Array  # [6, L]
     # linearised factor potentials, blockwise (gbp_codelets.cpp:30-34)
-    f_eta_c: jax.Array        # [E, 6]
-    f_eta_l: jax.Array        # [E, 3]
-    f_lam_cc: jax.Array       # [E, 6, 6]
-    f_lam_cl: jax.Array       # [E, 6, 3]
-    f_lam_ll: jax.Array       # [E, 3, 3]
+    f_eta_c: jax.Array        # [6, E]
+    f_eta_l: jax.Array        # [3, E]
+    f_lam_cc: jax.Array       # [21, E] packed sym
+    f_lam_cl: jax.Array       # [18, E] full 6x3 row-major
+    f_lam_ll: jax.Array       # [6, E] packed sym
     # factor -> variable messages (latest sent)
-    msg_c_eta: jax.Array      # [E, 6]
-    msg_c_lam: jax.Array      # [E, 6, 6]
-    msg_l_eta: jax.Array      # [E, 3]
-    msg_l_lam: jax.Array      # [E, 3, 3]
+    msg_c_eta: jax.Array      # [6, E]
+    msg_c_lam: jax.Array      # [21, E]
+    msg_l_eta: jax.Array      # [3, E]
+    msg_l_lam: jax.Array      # [6, E]
     # per-factor damping / relinearisation state machine
     damping: jax.Array        # [E] float
     damping_count: jax.Array  # [E] int32
-    mu: jax.Array             # [E, 9] previous-iteration belief means (cam, lmk)
-    lin_mu: jax.Array         # [E, 9] linearisation-point means (drift relin)
+    mu: jax.Array             # [9, E] previous-iteration belief means (cam, lmk)
+    lin_mu: jax.Array         # [9, E] linearisation-point means (drift relin)
     robust: jax.Array         # [E] bool — Huber active at last relin
     active: jax.Array         # [E] int32 — edge participates in GBP
     # prior-annealing flags
     cam_weaken: jax.Array     # [C] int32
     lmk_weaken: jax.Array     # [L] int32
+
+
+# Edge-axis fields and the position of the edge axis (all trailing).
+STATE_EDGE_FIELDS = (
+    "f_eta_c", "f_eta_l", "f_lam_cc", "f_lam_cl", "f_lam_ll",
+    "msg_c_eta", "msg_c_lam", "msg_l_eta", "msg_l_lam",
+    "damping", "damping_count", "mu", "lin_mu", "robust", "active",
+)
+GRAPH_EDGE_FIELDS = ("cam_idx", "lmk_idx", "meas", "meas_var")
 
 
 def build_graph(
@@ -108,7 +125,7 @@ def build_graph(
     return GBPGraph(
         cam_idx=jnp.asarray(problem.cam_idx.astype(np.int32)),
         lmk_idx=jnp.asarray(problem.lmk_idx.astype(np.int32)),
-        meas=jnp.asarray(problem.measurements, dtype),
+        meas=jnp.asarray(problem.measurements.T, dtype),
         meas_var=jnp.full((problem.n_edges,), cfg.meas_var, dtype),
         k=jnp.asarray(problem.k, dtype),
         cam_scaling=pr["cam_scaling"],
@@ -132,27 +149,27 @@ def init_state(
     c, l, e = problem.n_keyframes, problem.n_points, problem.n_edges
     f = dtype
     return GBPState(
-        cam_eta=jnp.zeros((c, CAM_DOF), f),
-        cam_lam=jnp.zeros((c, CAM_DOF, CAM_DOF), f),
-        lmk_eta=jnp.zeros((l, LMK_DOF), f),
-        lmk_lam=jnp.zeros((l, LMK_DOF, LMK_DOF), f),
+        cam_eta=jnp.zeros((CAM_DOF, c), f),
+        cam_lam=jnp.zeros((pl.N_SYM6, c), f),
+        lmk_eta=jnp.zeros((LMK_DOF, l), f),
+        lmk_lam=jnp.zeros((pl.N_SYM3, l), f),
         cam_prior_eta=pr["cam_prior_eta"],
         cam_prior_lam=pr["cam_prior_lam"],
         lmk_prior_eta=pr["lmk_prior_eta"],
         lmk_prior_lam=pr["lmk_prior_lam"],
-        f_eta_c=jnp.zeros((e, CAM_DOF), f),
-        f_eta_l=jnp.zeros((e, LMK_DOF), f),
-        f_lam_cc=jnp.zeros((e, CAM_DOF, CAM_DOF), f),
-        f_lam_cl=jnp.zeros((e, CAM_DOF, LMK_DOF), f),
-        f_lam_ll=jnp.zeros((e, LMK_DOF, LMK_DOF), f),
-        msg_c_eta=jnp.zeros((e, CAM_DOF), f),
-        msg_c_lam=jnp.zeros((e, CAM_DOF, CAM_DOF), f),
-        msg_l_eta=jnp.zeros((e, LMK_DOF), f),
-        msg_l_lam=jnp.zeros((e, LMK_DOF, LMK_DOF), f),
+        f_eta_c=jnp.zeros((CAM_DOF, e), f),
+        f_eta_l=jnp.zeros((LMK_DOF, e), f),
+        f_lam_cc=jnp.zeros((pl.N_SYM6, e), f),
+        f_lam_cl=jnp.zeros((CAM_DOF * LMK_DOF, e), f),
+        f_lam_ll=jnp.zeros((pl.N_SYM3, e), f),
+        msg_c_eta=jnp.zeros((CAM_DOF, e), f),
+        msg_c_lam=jnp.zeros((pl.N_SYM6, e), f),
+        msg_l_eta=jnp.zeros((LMK_DOF, e), f),
+        msg_l_lam=jnp.zeros((pl.N_SYM3, e), f),
         damping=jnp.zeros((e,), f),
         damping_count=jnp.full((e,), -cfg.iters_before_damping, jnp.int32),
-        mu=jnp.zeros((e, CAM_DOF + LMK_DOF), f),
-        lin_mu=jnp.zeros((e, CAM_DOF + LMK_DOF), f),
+        mu=jnp.zeros((CAM_DOF + LMK_DOF, e), f),
+        lin_mu=jnp.zeros((CAM_DOF + LMK_DOF, e), f),
         robust=jnp.zeros((e,), jnp.bool_),
         active=jnp.asarray(flags.active_flag.astype(np.int32)),
         cam_weaken=jnp.asarray(flags.cam_weaken_flag.astype(np.int32)),

@@ -118,7 +118,7 @@ def _build(
     cam_e = cam[graph.cam_idx]
     lmk_e = lmk[graph.lmk_idx]
     j_c, j_l = projection.reproj_jacobians(cam_e, lmk_e, graph.k)
-    r = graph.meas - projection.project(cam_e, lmk_e, graph.k)
+    r = graph.meas.T - projection.project(cam_e, lmk_e, graph.k)  # meas is [2,E] planes
     w_e = _weights(r, graph.meas_var, nstds)[:, None, None]   # [E,1,1]
 
     jtj_cc = linalg.bmm(linalg.transpose(j_c), j_c) * w_e     # [E,6,6]
@@ -234,13 +234,13 @@ def solve_lm(
     nstds = cfg.huber_nstds
 
     def total_cost(cam, lmk):
-        r = graph.meas - projection.project(
+        r = graph.meas.T - projection.project(
             cam[graph.cam_idx], lmk[graph.lmk_idx], graph.k)
         return _robust_cost(r, graph.meas_var, nstds) + _prior_cost(
             cam, lmk, priors)
 
     def mean_err(cam, lmk):
-        r = graph.meas - projection.project(
+        r = graph.meas.T - projection.project(
             cam[graph.cam_idx], lmk[graph.lmk_idx], graph.k)
         return jnp.mean(jnp.linalg.norm(r, axis=-1))
 

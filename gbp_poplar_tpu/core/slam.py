@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import GBPConfig
-from ..ops import lie, linalg, projection
+from ..ops import planes as pl
 from . import gbp
 from .factor_graph import GBPGraph, GBPState
 
@@ -54,19 +54,28 @@ def insert_keyframe(
     active = jnp.where(newly_active, 1, state.active)
 
     # --- new keyframe prior <- previous keyframe's belief mean ---
-    mu_prev = linalg.inf_to_mu(state.cam_eta[new_kf - 1],
-                               state.cam_lam[new_kf - 1])        # [6]
-    new_cam_eta = linalg.bmv(state.cam_prior_lam[new_kf], mu_prev)
-    cam_prior_eta = state.cam_prior_eta.at[new_kf].set(
+    prev_lam = pl.unpack_sym(state.cam_lam[:, new_kf - 1], 6)    # scalars
+    prev_eta = pl.unpack_vec(state.cam_eta[:, new_kf - 1], 6)
+    mu_prev = pl.solve_sym(prev_lam, prev_eta)                   # 6 scalars
+    new_prior_lam = pl.unpack_sym(state.cam_prior_lam[:, new_kf], 6)
+    new_cam_eta = pl.pack_vec(pl.matvec(new_prior_lam, mu_prev))
+    cam_prior_eta = state.cam_prior_eta.at[:, new_kf].set(
         new_cam_eta.astype(dtype))
 
     # --- newly observed landmarks: prior mean at depth `av_depth` on the
     # previous keyframe's optic axis (ba/util.cpp:198-211) ---
     new_lmk = graph.first_kf == new_kf                           # [L]
-    y_axis = lie.optic_axis_point_world(mu_prev, av_depth)       # [3]
-    new_lmk_eta = linalg.bmv(state.lmk_prior_lam,
-                             jnp.broadcast_to(y_axis, state.lmk_prior_eta.shape))
-    lmk_prior_eta = jnp.where(new_lmk[:, None], new_lmk_eta,
+    r_prev = pl.so3_exp(mu_prev[3:6])
+    # world point of camera-frame (0, 0, av_depth): R^T (p_cam - t)
+    p_minus_t = [jnp.asarray(0.0, dtype) - mu_prev[0],
+                 jnp.asarray(0.0, dtype) - mu_prev[1],
+                 jnp.asarray(av_depth, dtype) - mu_prev[2]]
+    y_axis = pl.mat_t_vec(r_prev, p_minus_t)                     # 3 scalars
+    lmk_prior_mat = pl.unpack_sym(state.lmk_prior_lam, 3)        # [L] planes
+    y_bcast = [jnp.broadcast_to(y_axis[i], (graph.n_points,))
+               for i in range(3)]
+    new_lmk_eta = pl.pack_vec(pl.matvec(lmk_prior_mat, y_bcast))  # [3, L]
+    lmk_prior_eta = jnp.where(new_lmk[None, :], new_lmk_eta,
                               state.lmk_prior_eta)
 
     # --- weaken schedule: only the new keyframe + its new landmarks ---
@@ -99,26 +108,17 @@ def _linearise_masked(
     state: GBPState, graph: GBPGraph, cfg: GBPConfig, mask: jax.Array
 ) -> GBPState:
     """Relinearise only the edges in `mask` at current belief means."""
-    mu_c = linalg.inf_to_mu(state.cam_eta[graph.cam_idx],
-                            state.cam_lam[graph.cam_idx])
-    mu_l = linalg.inf_to_mu(state.lmk_eta[graph.lmk_idx],
-                            state.lmk_lam[graph.lmk_idx])
-    pot, robust = projection.linearise_factor(
-        mu_c, mu_l, graph.k, graph.meas, graph.meas_var, cfg.huber_nstds)
-    mu = jnp.concatenate([mu_c, mu_l], axis=-1)
-
-    def sel(new, old):
-        m = mask.reshape(mask.shape + (1,) * (new.ndim - 1))
-        return jnp.where(m, new, old)
-
+    f_eta_c, f_eta_l, f_lam_cc, f_lam_cl, f_lam_ll, robust, mu = (
+        gbp._linearise_planes(state, graph, cfg))
+    m1 = mask[None, :]
     return state._replace(
-        f_eta_c=sel(pot.eta_c, state.f_eta_c),
-        f_eta_l=sel(pot.eta_l, state.f_eta_l),
-        f_lam_cc=sel(pot.lam_cc, state.f_lam_cc),
-        f_lam_cl=sel(pot.lam_cl, state.f_lam_cl),
-        f_lam_ll=sel(pot.lam_ll, state.f_lam_ll),
-        lin_mu=sel(mu, state.lin_mu),
-        mu=sel(mu, state.mu),
+        f_eta_c=jnp.where(m1, f_eta_c, state.f_eta_c),
+        f_eta_l=jnp.where(m1, f_eta_l, state.f_eta_l),
+        f_lam_cc=jnp.where(m1, f_lam_cc, state.f_lam_cc),
+        f_lam_cl=jnp.where(m1, f_lam_cl, state.f_lam_cl),
+        f_lam_ll=jnp.where(m1, f_lam_ll, state.f_lam_ll),
+        lin_mu=jnp.where(m1, mu, state.lin_mu),
+        mu=jnp.where(m1, mu, state.mu),
         robust=jnp.where(mask, robust, state.robust),
     )
 

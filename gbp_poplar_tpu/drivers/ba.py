@@ -151,13 +151,12 @@ class _Sharded:
     def unprep(self, state):
         import jax
 
+        from ..core.factor_graph import STATE_EDGE_FIELDS
+
         e = self._n_edges
         return state._replace(**{
-            f: jax.device_get(getattr(state, f))[:e]
-            for f in ("f_eta_c", "f_eta_l", "f_lam_cc", "f_lam_cl",
-                      "f_lam_ll", "msg_c_eta", "msg_c_lam", "msg_l_eta",
-                      "msg_l_lam", "damping", "damping_count", "mu",
-                      "lin_mu", "robust", "active")})
+            f: jax.device_get(getattr(state, f))[..., :e]
+            for f in STATE_EDGE_FIELDS})
 
     def initialise(self, state):
         return self._solver.initialise(state, self._graph)

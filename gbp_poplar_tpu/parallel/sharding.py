@@ -41,15 +41,25 @@ from ..core.factor_graph import GBPGraph, GBPState
 
 EDGE_AXIS = "edges"
 
-# GBPGraph fields with a leading edge axis; the rest are replicated.
-_GRAPH_EDGE_FIELDS = frozenset({"cam_idx", "lmk_idx", "meas", "meas_var"})
-# GBPState fields with a leading edge axis; the rest (beliefs, priors,
-# weaken flags — all per-variable) are replicated.
+# Edge-axis fields (edge axis is always TRAILING in plane layout; 1-D fields
+# are [E]). Everything else (beliefs, priors, weaken flags — all
+# per-variable) is replicated.
+_GRAPH_EDGE_FIELDS = frozenset(GBPGraph._fields) & frozenset(
+    ("cam_idx", "lmk_idx", "meas", "meas_var"))
 _STATE_EDGE_FIELDS = frozenset({
     "f_eta_c", "f_eta_l", "f_lam_cc", "f_lam_cl", "f_lam_ll",
     "msg_c_eta", "msg_c_lam", "msg_l_eta", "msg_l_lam",
     "damping", "damping_count", "mu", "lin_mu", "robust", "active",
 })
+# 1-D edge fields ([E]); all other edge fields are [comp, E] planes.
+_EDGE_1D_FIELDS = frozenset({
+    "cam_idx", "lmk_idx", "meas_var",
+    "damping", "damping_count", "robust", "active",
+})
+
+
+def _edge_spec(field: str) -> P:
+    return P(EDGE_AXIS) if field in _EDGE_1D_FIELDS else P(None, EDGE_AXIS)
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -64,7 +74,7 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 def graph_specs(mesh: Mesh) -> GBPGraph:
     del mesh
     return GBPGraph(**{
-        f: P(EDGE_AXIS) if f in _GRAPH_EDGE_FIELDS else P()
+        f: _edge_spec(f) if f in _GRAPH_EDGE_FIELDS else P()
         for f in GBPGraph._fields
     })
 
@@ -72,13 +82,14 @@ def graph_specs(mesh: Mesh) -> GBPGraph:
 def state_specs(mesh: Mesh) -> GBPState:
     del mesh
     return GBPState(**{
-        f: P(EDGE_AXIS) if f in _STATE_EDGE_FIELDS else P()
+        f: _edge_spec(f) if f in _STATE_EDGE_FIELDS else P()
         for f in GBPState._fields
     })
 
 
 def _pad_edge_array(x: jax.Array, pad: int) -> jax.Array:
-    widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    # edge axis is trailing ([E] or [comp, E])
+    widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
     return jnp.pad(x, widths)
 
 

@@ -48,19 +48,24 @@ def symmetric_kl(
 
 
 def belief_means(state: GBPState) -> tuple[np.ndarray, np.ndarray]:
-    """(cam_mu [C,6], lmk_mu [L,3]) from current beliefs
+    """(cam_mu [C,6], lmk_mu [L,3]) from current plane-layout beliefs
     (reference: ba/dataio.cpp:193-260 save_cam_means/save_lmk_means)."""
-    cam_mu = linalg.inf_to_mu(state.cam_eta, state.cam_lam)
-    lmk_mu = linalg.inf_to_mu(state.lmk_eta, state.lmk_lam)
-    return np.asarray(cam_mu), np.asarray(lmk_mu)
+    from ..ops import planes as pl
+
+    cam_mu = pl.pack_vec(pl.solve_sym(pl.unpack_sym(state.cam_lam, 6),
+                                      pl.unpack_vec(state.cam_eta, 6)))
+    lmk_mu = pl.pack_vec(pl.matvec(
+        pl.inv_sym3(pl.unpack_sym(state.lmk_lam, 3)),
+        pl.unpack_vec(state.lmk_eta, 3)))
+    return np.asarray(cam_mu.T), np.asarray(lmk_mu.T)
 
 
 def message_norms(state: GBPState) -> dict[str, np.ndarray]:
     """Per-edge eta-message norms in both directions — the convergence trace
     the reference's save_message_KL computes (ba/dataio.cpp:262-327)."""
     return {
-        "to_cam": np.asarray(jnp.linalg.norm(state.msg_c_eta, axis=-1)),
-        "to_lmk": np.asarray(jnp.linalg.norm(state.msg_l_eta, axis=-1)),
+        "to_cam": np.asarray(jnp.linalg.norm(state.msg_c_eta, axis=0)),
+        "to_lmk": np.asarray(jnp.linalg.norm(state.msg_l_eta, axis=0)),
     }
 
 
@@ -69,17 +74,20 @@ def message_kl_trace(
 ) -> dict[str, np.ndarray]:
     """Symmetric KL between consecutive messages per edge — measures message
     convergence exactly (not just norm deltas)."""
+    from ..ops import planes as pl
+
     eps = 1e-6
 
-    def _safe(lam, d):
-        return lam + eps * jnp.eye(d, dtype=lam.dtype)
+    def _dense(lam_planes, d):
+        dense = pl.sym_planes_to_dense(lam_planes, d)
+        return dense + eps * jnp.eye(d, dtype=dense.dtype)
 
     kl_cam = symmetric_kl(
-        prev_state.msg_c_eta, _safe(prev_state.msg_c_lam, 6),
-        state.msg_c_eta, _safe(state.msg_c_lam, 6))
+        prev_state.msg_c_eta.T, _dense(prev_state.msg_c_lam, 6),
+        state.msg_c_eta.T, _dense(state.msg_c_lam, 6))
     kl_lmk = symmetric_kl(
-        prev_state.msg_l_eta, _safe(prev_state.msg_l_lam, 3),
-        state.msg_l_eta, _safe(state.msg_l_lam, 3))
+        prev_state.msg_l_eta.T, _dense(prev_state.msg_l_lam, 3),
+        state.msg_l_eta.T, _dense(state.msg_l_lam, 3))
     return {"to_cam": np.asarray(kl_cam), "to_lmk": np.asarray(kl_lmk)}
 
 

@@ -64,17 +64,24 @@ def build_priors(
         -> after `steps` applications lambda = 1 / first_cam_prior_std^2
       others: exp(-2/steps * log(prior_std_weaker_factor))
         -> after `steps` applications lambda weakened by factor^2
-    """
-    cam_lam_s, lmk_lam_s = prior_lambdas(problem, cfg.meas_var, dtype)
-    cam_mu = jnp.asarray(problem.cam_means, dtype)
-    lmk_mu = jnp.asarray(problem.lmk_means, dtype)
 
-    cam_prior_eta = cam_lam_s[:, None] * cam_mu
-    lmk_prior_eta = lmk_lam_s[:, None] * lmk_mu
-    eye6 = jnp.eye(6, dtype=dtype)
-    eye3 = jnp.eye(3, dtype=dtype)
-    cam_prior_lam = cam_lam_s[:, None, None] * eye6
-    lmk_prior_lam = lmk_lam_s[:, None, None] * eye3
+    Arrays are emitted in plane layout (ops/planes.py): eta [d, C],
+    Lambda packed symmetric [n_slots, C] (isotropic: diagonal slots only).
+    """
+    from ..ops import planes as pl
+
+    cam_lam_s, lmk_lam_s = prior_lambdas(problem, cfg.meas_var, dtype)
+    cam_mu = jnp.asarray(problem.cam_means.T, dtype)   # [6, C]
+    lmk_mu = jnp.asarray(problem.lmk_means.T, dtype)   # [3, L]
+
+    cam_prior_eta = cam_lam_s[None, :] * cam_mu
+    lmk_prior_eta = lmk_lam_s[None, :] * lmk_mu
+    diag6 = jnp.zeros((pl.N_SYM6,), dtype).at[
+        jnp.asarray([pl.sym_slot(i, i) for i in range(6)])].set(1.0)
+    diag3 = jnp.zeros((pl.N_SYM3,), dtype).at[
+        jnp.asarray([pl.sym_slot(i, i) for i in range(3)])].set(1.0)
+    cam_prior_lam = diag6[:, None] * cam_lam_s[None, :]
+    lmk_prior_lam = diag3[:, None] * lmk_lam_s[None, :]
 
     anchor = jnp.arange(problem.n_keyframes) < cfg.num_anchor_cams
     anchor_scaling = jnp.exp(

@@ -7,32 +7,44 @@ import pytest
 
 from gbp_poplar_tpu.config import GBPConfig
 from gbp_poplar_tpu.core import build_graph, init_state, gbp
-from gbp_poplar_tpu.ops import linalg
+from gbp_poplar_tpu.ops import planes as pl
 from gbp_poplar_tpu.utils import balio, flags as flags_lib
 
 
 def _dense_marginal(prob, state):
-    """Oracle: mean of the full joint Gaussian (priors + factor potentials)."""
+    """Oracle: mean of the full joint Gaussian (priors + factor potentials).
+
+    Unpacks the solver's plane-layout state into dense blocks first.
+    """
     c_n, l_n, e_n = prob.n_keyframes, prob.n_points, prob.n_edges
+    cam_prior_lam = np.asarray(pl.sym_planes_to_dense(state.cam_prior_lam, 6))
+    lmk_prior_lam = np.asarray(pl.sym_planes_to_dense(state.lmk_prior_lam, 3))
+    f_lam_cc = np.asarray(pl.sym_planes_to_dense(state.f_lam_cc, 6))
+    f_lam_ll = np.asarray(pl.sym_planes_to_dense(state.f_lam_ll, 3))
+    f_lam_cl = np.asarray(pl.full_planes_to_dense(state.f_lam_cl, 6, 3))
+    cam_prior_eta = np.asarray(state.cam_prior_eta).T
+    lmk_prior_eta = np.asarray(state.lmk_prior_eta).T
+    f_eta_c = np.asarray(state.f_eta_c).T
+    f_eta_l = np.asarray(state.f_eta_l).T
     n = 6 * c_n + 3 * l_n
     lam = np.zeros((n, n))
     eta = np.zeros(n)
     for c in range(c_n):
-        lam[6*c:6*c+6, 6*c:6*c+6] += np.asarray(state.cam_prior_lam[c])
-        eta[6*c:6*c+6] += np.asarray(state.cam_prior_eta[c])
+        lam[6*c:6*c+6, 6*c:6*c+6] += cam_prior_lam[c]
+        eta[6*c:6*c+6] += cam_prior_eta[c]
     for l in range(l_n):
         o = 6 * c_n + 3 * l
-        lam[o:o+3, o:o+3] += np.asarray(state.lmk_prior_lam[l])
-        eta[o:o+3] += np.asarray(state.lmk_prior_eta[l])
+        lam[o:o+3, o:o+3] += lmk_prior_lam[l]
+        eta[o:o+3] += lmk_prior_eta[l]
     for e in range(e_n):
         c, l = int(prob.cam_idx[e]), int(prob.lmk_idx[e])
         oc, ol = 6 * c, 6 * c_n + 3 * l
-        lam[oc:oc+6, oc:oc+6] += np.asarray(state.f_lam_cc[e])
-        lam[ol:ol+3, ol:ol+3] += np.asarray(state.f_lam_ll[e])
-        lam[oc:oc+6, ol:ol+3] += np.asarray(state.f_lam_cl[e])
-        lam[ol:ol+3, oc:oc+6] += np.asarray(state.f_lam_cl[e]).T
-        eta[oc:oc+6] += np.asarray(state.f_eta_c[e])
-        eta[ol:ol+3] += np.asarray(state.f_eta_l[e])
+        lam[oc:oc+6, oc:oc+6] += f_lam_cc[e]
+        lam[ol:ol+3, ol:ol+3] += f_lam_ll[e]
+        lam[oc:oc+6, ol:ol+3] += f_lam_cl[e]
+        lam[ol:ol+3, oc:oc+6] += f_lam_cl[e].T
+        eta[oc:oc+6] += f_eta_c[e]
+        eta[ol:ol+3] += f_eta_l[e]
     return np.linalg.solve(lam, eta)
 
 
@@ -51,10 +63,11 @@ def test_tree_gbp_exact_marginal():
     step = jax.jit(lambda s: gbp.gbp_sweep(s, graph, cfg))
     for _ in range(20):
         state = step(state)
-    mu_cam = np.asarray(linalg.inf_to_mu(state.cam_eta, state.cam_lam)).ravel()
-    mu_lmk = np.asarray(linalg.inf_to_mu(state.lmk_eta, state.lmk_lam)).ravel()
+    from gbp_poplar_tpu.utils import analysis
+    mu_cam, mu_lmk = analysis.belief_means(state)
     np.testing.assert_allclose(
-        np.concatenate([mu_cam, mu_lmk]), mu_exact, rtol=1e-3, atol=1e-4)
+        np.concatenate([mu_cam.ravel(), mu_lmk.ravel()]), mu_exact,
+        rtol=1e-3, atol=1e-4)
 
 
 def test_fixed_point_at_ground_truth():
@@ -79,11 +92,11 @@ def test_weaken_priors_schedule():
     prob = balio.synthetic_problem(n_keyframes=3, n_points=12, seed=0)
     graph = build_graph(prob, cfg)
     state = gbp.initialise(init_state(prob, cfg), graph, cfg)
-    lam0 = np.asarray(state.cam_prior_lam).copy()
+    lam0 = np.asarray(pl.sym_planes_to_dense(state.cam_prior_lam, 6)).copy()
     # apply weaken `steps` times + 2 extra (extras must be no-ops)
     for _ in range(cfg.steps + 2):
         state = gbp.weaken_priors(state, graph)
-    lam5 = np.asarray(state.cam_prior_lam)
+    lam5 = np.asarray(pl.sym_planes_to_dense(state.cam_prior_lam, 6))
     assert (np.asarray(state.cam_weaken) == 0).all()
     # anchors end at 1/first_cam_prior_std^2
     np.testing.assert_allclose(
@@ -118,14 +131,14 @@ def test_inactive_edges_send_zero_messages():
     state = gbp.gbp_sweep(state, graph, cfg)
     inactive = np.asarray(state.active) == 0
     assert inactive.any()
-    assert (np.abs(np.asarray(state.msg_c_eta)[inactive]) == 0).all()
-    assert (np.abs(np.asarray(state.msg_c_lam)[inactive]) == 0).all()
+    assert (np.abs(np.asarray(state.msg_c_eta)[:, inactive]) == 0).all()
+    assert (np.abs(np.asarray(state.msg_c_lam)[:, inactive]) == 0).all()
     # inactive variables' beliefs stay at their priors
     touched_cams = np.unique(np.asarray(prob.cam_idx)[~inactive])
     untouched = np.setdiff1d(np.arange(prob.n_keyframes), touched_cams)
     np.testing.assert_allclose(
-        np.asarray(state.cam_eta)[untouched],
-        np.asarray(state.cam_prior_eta)[untouched])
+        np.asarray(state.cam_eta)[:, untouched],
+        np.asarray(state.cam_prior_eta)[:, untouched])
 
 
 def test_solve_runs_and_is_finite(synthetic):

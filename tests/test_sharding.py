@@ -61,7 +61,7 @@ def test_sharded_single_sweep_close(problem, n_devices):
     e = problem.n_edges
     mscale = np.abs(np.asarray(s1.msg_c_eta)).max()
     np.testing.assert_allclose(
-        np.asarray(s2.msg_c_eta)[:e] / mscale,
+        np.asarray(s2.msg_c_eta)[:, :e] / mscale,
         np.asarray(s1.msg_c_eta) / mscale, atol=1e-5)
 
 
@@ -101,7 +101,7 @@ def test_padding_is_inert(problem):
         np.asarray(final_b.cam_eta), np.asarray(final_a.cam_eta),
         rtol=1e-5, atol=1e-5)
     # padding edges never emitted a message
-    assert np.all(np.asarray(final_b.msg_c_eta)[problem.n_edges:] == 0.0)
+    assert np.all(np.asarray(final_b.msg_c_eta)[:, problem.n_edges:] == 0.0)
 
 
 def test_sharded_sweep_and_init(problem):

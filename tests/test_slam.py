@@ -5,8 +5,15 @@ import numpy as np
 
 from gbp_poplar_tpu.config import GBPConfig
 from gbp_poplar_tpu.core import build_graph, init_state, gbp, slam
-from gbp_poplar_tpu.ops import linalg
+from gbp_poplar_tpu.ops import planes as pl
 from gbp_poplar_tpu.utils import balio, flags as flags_lib
+
+
+def _col_mu(eta_planes, lam_planes, col, d):
+    """Solve one variable's mean from plane-layout (eta, Lambda)."""
+    lam = pl.unpack_sym(lam_planes[:, col], d)
+    eta = pl.unpack_vec(eta_planes[:, col], d)
+    return np.asarray(pl.pack_vec(pl.solve_sym(lam, eta)))
 
 
 def _slam_problem():
@@ -26,8 +33,7 @@ def test_insert_keyframe_semantics():
     state, _ = gbp.run_gbp(state, graph, cfg, 40)
 
     new_kf = 2
-    prev_mu = linalg.inf_to_mu(state.cam_eta[new_kf - 1],
-                               state.cam_lam[new_kf - 1])
+    prev_mu = _col_mu(state.cam_eta, state.cam_lam, new_kf - 1, 6)
     state2 = slam.insert_keyframe(state, graph, cfg, new_kf)
 
     # edges of keyframe 2 are now active
@@ -37,10 +43,8 @@ def test_insert_keyframe_semantics():
     assert (active[cam_idx > new_kf] == 0).all()
 
     # new keyframe's prior mean == previous keyframe's belief mean
-    prior_mu = linalg.inf_to_mu(state2.cam_prior_eta[new_kf],
-                                state2.cam_prior_lam[new_kf])
-    np.testing.assert_allclose(np.asarray(prior_mu), np.asarray(prev_mu),
-                               rtol=1e-4, atol=1e-5)
+    prior_mu = _col_mu(state2.cam_prior_eta, state2.cam_prior_lam, new_kf, 6)
+    np.testing.assert_allclose(prior_mu, prev_mu, rtol=1e-4, atol=1e-5)
 
     # weaken schedule restarted only for the new keyframe
     cam_weaken = np.asarray(state2.cam_weaken)
