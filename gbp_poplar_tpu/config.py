@@ -77,6 +77,18 @@ class GBPConfig:
     # --- numerics ---
     dtype: str = "float32"
 
+    # --- execution ---
+    # Fuse the per-edge sweep body into one Pallas TPU kernel ("auto" =
+    # only when running on TPU; the pure-XLA path is the fallback and the
+    # correctness oracle on CPU).
+    use_pallas: bool | str = "auto"
+    # Edge-block size for the Pallas kernel (lanes; multiple of 128).
+    pallas_block_edges: int = 2048
+    # Pad the edge axis to a multiple of this at graph build time (inactive
+    # padding edges are inert). Alignment lets the Pallas kernel skip its
+    # per-sweep pad/reshape copies; 1024 = 8 sublanes x 128 lanes.
+    edge_pad_multiple: int = 1024
+
     @property
     def relin_count_threshold(self) -> int:
         """damping_count must exceed this for relinearisation.

@@ -51,6 +51,11 @@ class GBPGraph(NamedTuple):
     first_kf: jax.Array     # [L] int32 — first keyframe observing each
                             # landmark (n_keyframes if never observed); drives
                             # on-device SLAM keyframe insertion (core/slam.py)
+    cam_onehot: jax.Array | None  # [E, C] float 0/1, or None. When present,
+                            # the camera-side belief reduction is a dense
+                            # matmul (MXU) instead of a scatter — ~2x faster
+                            # at TUM scale; built only while E*C is small
+                            # (see build_graph)
 
     @property
     def n_keyframes(self) -> int:
@@ -115,22 +120,48 @@ STATE_EDGE_FIELDS = (
 GRAPH_EDGE_FIELDS = ("cam_idx", "lmk_idx", "meas", "meas_var")
 
 
+# Build the camera one-hot reduction matrix only below this size (fp32
+# bytes); above it the memory/bandwidth cost of the dense matmul exceeds the
+# scatter it replaces (Ladybug-scale problems use segment_sum).
+CAM_ONEHOT_MAX_BYTES = 64 * 1024 * 1024
+
+
+def padded_n_edges(problem: BAProblem, cfg: GBPConfig) -> int:
+    m = max(1, cfg.edge_pad_multiple)
+    return -(-problem.n_edges // m) * m
+
+
 def build_graph(
     problem: BAProblem, cfg: GBPConfig, dtype=jnp.float32
 ) -> GBPGraph:
+    """Build static graph arrays, padding the edge axis to
+    cfg.edge_pad_multiple with inert edges (cam/lmk id 0, zero one-hot row;
+    they stay inactive in the matching init_state)."""
     pr = priors_lib.build_priors(problem, cfg, dtype)
     first_kf = np.full(problem.n_points, problem.n_keyframes, np.int32)
     np.minimum.at(first_kf, problem.lmk_idx.astype(np.int64),
                   problem.cam_idx.astype(np.int32))
+    e, c = problem.n_edges, problem.n_keyframes
+    e_pad = padded_n_edges(problem, cfg)
+    pad = e_pad - e
+
+    cam_idx = np.pad(problem.cam_idx.astype(np.int32), (0, pad))
+    lmk_idx = np.pad(problem.lmk_idx.astype(np.int32), (0, pad))
+    meas = np.pad(problem.measurements.T, [(0, 0), (0, pad)])
+    cam_onehot = None
+    if e_pad * c * 4 <= CAM_ONEHOT_MAX_BYTES:
+        onehot = (problem.cam_idx[:, None] == np.arange(c)[None, :])
+        cam_onehot = jnp.asarray(np.pad(onehot, [(0, pad), (0, 0)]), dtype)
     return GBPGraph(
-        cam_idx=jnp.asarray(problem.cam_idx.astype(np.int32)),
-        lmk_idx=jnp.asarray(problem.lmk_idx.astype(np.int32)),
-        meas=jnp.asarray(problem.measurements.T, dtype),
-        meas_var=jnp.full((problem.n_edges,), cfg.meas_var, dtype),
+        cam_idx=jnp.asarray(cam_idx),
+        lmk_idx=jnp.asarray(lmk_idx),
+        meas=jnp.asarray(meas, dtype),
+        meas_var=jnp.full((e_pad,), cfg.meas_var, dtype),
         k=jnp.asarray(problem.k, dtype),
         cam_scaling=pr["cam_scaling"],
         lmk_scaling=pr["lmk_scaling"],
         first_kf=jnp.asarray(first_kf),
+        cam_onehot=cam_onehot,
     )
 
 
@@ -146,7 +177,10 @@ def init_state(
     if flags is None:
         flags = ba_flags(problem, cfg.steps)
     pr = priors_lib.build_priors(problem, cfg, dtype)
-    c, l, e = problem.n_keyframes, problem.n_points, problem.n_edges
+    c, l = problem.n_keyframes, problem.n_points
+    e = padded_n_edges(problem, cfg)
+    pad = e - problem.n_edges
+    active = np.pad(flags.active_flag.astype(np.int32), (0, pad))
     f = dtype
     return GBPState(
         cam_eta=jnp.zeros((CAM_DOF, c), f),
@@ -171,7 +205,7 @@ def init_state(
         mu=jnp.zeros((CAM_DOF + LMK_DOF, e), f),
         lin_mu=jnp.zeros((CAM_DOF + LMK_DOF, e), f),
         robust=jnp.zeros((e,), jnp.bool_),
-        active=jnp.asarray(flags.active_flag.astype(np.int32)),
+        active=jnp.asarray(active),
         cam_weaken=jnp.asarray(flags.cam_weaken_flag.astype(np.int32)),
         lmk_weaken=jnp.asarray(flags.lmk_weaken_flag.astype(np.int32)),
     )

@@ -271,10 +271,15 @@ def solve_lm(
 
 def solve_problem(problem, cfg: GBPConfig, dtype=jnp.float32, **kw) -> GNResult:
     """Convenience wrapper: build graph + annealed priors from a BAProblem."""
+    import dataclasses
+
     from ..utils import priors as priors_lib
     from .factor_graph import build_graph
 
-    graph = build_graph(problem, cfg, dtype)
+    # GN has no per-edge activity mask, so it must see the exact edge set
+    # (the GBP graph's inert padding edges would corrupt the normal eqs).
+    graph = build_graph(problem,
+                        dataclasses.replace(cfg, edge_pad_multiple=1), dtype)
     cam_lam0, lmk_lam0 = priors_lib.prior_lambdas(problem, cfg.meas_var, dtype)
     cam0 = jnp.asarray(problem.cam_means, dtype)
     lmk0 = jnp.asarray(problem.lmk_means, dtype)

@@ -65,8 +65,14 @@ def update_beliefs(
     # one fused transpose+scatter per variable kind: [6+21, E] and [3+6, E]
     cam_planes = jnp.concatenate([state.msg_c_eta, state.msg_c_lam])
     lmk_planes = jnp.concatenate([state.msg_l_eta, state.msg_l_lam])
-    cam_sum = jax.ops.segment_sum(cam_planes.T, graph.cam_idx,
-                                  num_segments=c).T      # [27, C]
+    if graph.cam_onehot is not None:
+        # dense MXU reduction (scatter is ~2x slower at this scale); the
+        # one-hot rows of padded edges are all-zero, so padding stays inert
+        cam_sum = jnp.matmul(cam_planes, graph.cam_onehot,
+                             precision=jax.lax.Precision.HIGHEST)  # [27, C]
+    else:
+        cam_sum = jax.ops.segment_sum(cam_planes.T, graph.cam_idx,
+                                      num_segments=c).T            # [27, C]
     lmk_sum = jax.ops.segment_sum(lmk_planes.T, graph.lmk_idx,
                                   num_segments=l).T      # [9, L]
     if axis_name is not None:
@@ -92,10 +98,11 @@ def _linearise_planes(state: GBPState, graph: GBPGraph, cfg: GBPConfig):
     mu_l = jnp.take(lmk_mu, graph.lmk_idx, axis=1)     # [3, E]
     eta_c, eta_l, lam_cc, lam_cl, lam_ll, robust = pl.linearise(
         pl.unpack_vec(mu_c, 6), pl.unpack_vec(mu_l, 3), graph.k,
-        graph.meas[0], graph.meas[1], graph.meas_var, cfg.huber_nstds)
+        graph.meas[0:1], graph.meas[1:2], graph.meas_var[None],
+        cfg.huber_nstds)
     return (pl.pack_vec(eta_c), pl.pack_vec(eta_l),
             pl.pack_sym(lam_cc, 6), pl.pack_full(lam_cl),
-            pl.pack_sym(lam_ll, 3), robust,
+            pl.pack_sym(lam_ll, 3), robust[0],
             jnp.concatenate([mu_c, mu_l]))
 
 
@@ -142,23 +149,87 @@ def weaken_priors(
 # one synchronous GBP sweep (= GBP_PROG, reference: ba/ba.cpp:895-905)
 # ---------------------------------------------------------------------------
 
-def gbp_sweep(
-    state: GBPState, graph: GBPGraph, cfg: GBPConfig,
-    axis_name: str | None = None,
-) -> GBPState:
-    active = state.active > 0
-    a1 = active[None, :]
+# Names/order of the per-edge arrays flowing through the fused edge math —
+# shared by the pure-XLA path and the Pallas kernel (ops/sweep_kernel.py).
+EDGE_MATH_INPUTS = (
+    "bc_eta", "bc_lam", "bl_eta", "bl_lam",     # gathered beliefs
+    "meas", "meas_var",                         # measurements
+    "f_eta_c", "f_eta_l", "f_lam_cc", "f_lam_cl", "f_lam_ll",
+    "msg_c_eta", "msg_c_lam", "msg_l_eta", "msg_l_lam",
+    "damping", "damping_count", "mu", "lin_mu", "robust", "active",
+)
+EDGE_MATH_OUTPUTS = (
+    "f_eta_c", "f_eta_l", "f_lam_cc", "f_lam_cl", "f_lam_ll",
+    "msg_c_eta", "msg_c_lam", "msg_l_eta", "msg_l_lam",
+    "damping", "damping_count", "mu", "lin_mu", "robust",
+)
 
-    # --- prep: damping state machine + drift-triggered relinearisation ---
-    # (reference: gbp_codelets.cpp:215-379)
-    damping = jnp.where(active & (state.damping_count == 0),
-                        cfg.eta_damping, state.damping)
-    damping_count = state.damping_count + active.astype(jnp.int32)
+
+def edge_math(
+    bc_eta, bc_lam, bl_eta, bl_lam, meas, meas_var,
+    f_eta_c0, f_eta_l0, f_lam_cc0, f_lam_cl0, f_lam_ll0,
+    msg_c_eta0, msg_c_lam0, msg_l_eta0, msg_l_lam0,
+    damping0, damping_count0, mu0, lin_mu0, robust0, active_i,
+    k, cfg: GBPConfig,
+):
+    """The complete per-edge GBP sweep body on plane arrays.
+
+    Fuses the reference's PrepMessageVertex (damping/relin state machine +
+    in-place relinearisation, gbp_codelets.cpp:215-379) with all four
+    message vertices (gbp_codelets.cpp:382-710). Pure elementwise on [*, N]
+    planes — runs identically as one XLA fusion or inside the Pallas kernel.
+
+    ``k`` is the [3,3] intrinsics (array or SMEM ref); ``cfg`` is static.
+    Returns the tuple named by EDGE_MATH_OUTPUTS; per-edge scalar rows
+    (damping, damping_count, robust) come back shaped (1, N) — callers
+    squeeze. Everything stays 2-D so the same trace compiles both as an XLA
+    fusion and inside the Pallas TPU kernel (Mosaic needs >=2-D layouts).
+    """
+    def row(x):
+        return x[None] if x.ndim == 1 else x
+
+    meas_var = row(meas_var)
+    damping0 = row(damping0)
+    damping_count0 = row(damping_count0)
+    robust0 = row(robust0)
+    active = row(active_i) > 0
+    a1 = active
+
+    # --- prep: damping state machine (reference: gbp_codelets.cpp:215-283) --
+    damping = jnp.where(active & (damping_count0 == 0),
+                        cfg.eta_damping, damping0)
+    damping_count = damping_count0 + active.astype(jnp.int32)
+
+    # adjacent-belief means per edge (in the fused kernel these 6x6/3x3
+    # solves are register-resident and effectively free; the cost is the
+    # belief gathers, already paid)
+    mu_c_rows = pl.solve_sym(pl.unpack_sym(bc_lam, 6),
+                             pl.unpack_vec(bc_eta, 6))
+    mu_l_rows = pl.matvec(pl.inv_sym3(pl.unpack_sym(bl_lam, 3)),
+                          pl.unpack_vec(bl_eta, 3))
+    mu_c = pl.pack_vec(mu_c_rows)
+    mu_l = pl.pack_vec(mu_l_rows)
 
     # relinearisation candidates at current belief means
-    (pot_eta_c, pot_eta_l, pot_lam_cc, pot_lam_cl, pot_lam_ll, robust_new,
-     mu) = _linearise_planes(state, graph, cfg)
-    dmu = jnp.sqrt(jnp.sum((mu - state.mu) ** 2, axis=0))
+    meas_u, meas_v = pl.unpack_vec(meas, 2)
+    eta_c_n, eta_l_n, lam_cc_n, lam_cl_n, lam_ll_n, robust_new = pl.linearise(
+        mu_c_rows, mu_l_rows, k,
+        meas_u, meas_v, meas_var, cfg.huber_nstds)
+    pot_eta_c = pl.pack_vec(eta_c_n)
+    pot_eta_l = pl.pack_vec(eta_l_n)
+    pot_lam_cc = pl.pack_sym(lam_cc_n, 6)
+    pot_lam_cl = pl.pack_full(lam_cl_n)
+    pot_lam_ll = pl.pack_sym(lam_ll_n, 3)
+    mu = jnp.concatenate([mu_c, mu_l])
+
+    def _norm_rows(delta_packed, d):
+        rows = pl.unpack_vec(delta_packed, d)
+        acc = rows[0] * rows[0]
+        for r in rows[1:]:
+            acc = acc + r * r
+        return jnp.sqrt(acc)
+
+    dmu = _norm_rows(mu - mu0, 9)
 
     if cfg.relin_every_iter:
         relin = active
@@ -173,7 +244,7 @@ def gbp_sweep(
             # left the stored linearisation point (the reference only
             # relinearises on quiescence, which cannot catch edges that
             # never settle).
-            drift = jnp.sqrt(jnp.sum((mu - state.lin_mu) ** 2, axis=0))
+            drift = _norm_rows(mu - lin_mu0, 9)
             relin = relin | (
                 active
                 & (drift > cfg.relin_drift_threshold)
@@ -182,30 +253,24 @@ def gbp_sweep(
     if cfg.min_depth > 0.0:
         # Never adopt a linearisation with the landmark at/behind the camera
         # plane — the projection Jacobians blow up as z -> 0.
-        y_cf, _ = pl.w2c_apply(pl.unpack_vec(mu[:6], 6),
-                               pl.unpack_vec(mu[6:], 3))
+        mu_rows = pl.unpack_vec(mu, 9)
+        y_cf, _ = pl.w2c_apply(mu_rows[:6], mu_rows[6:])
         relin = relin & (y_cf[2] > cfg.min_depth)
 
-    r1 = relin[None, :]
-    f_eta_c = jnp.where(r1, pot_eta_c, state.f_eta_c)
-    f_eta_l = jnp.where(r1, pot_eta_l, state.f_eta_l)
-    f_lam_cc = jnp.where(r1, pot_lam_cc, state.f_lam_cc)
-    f_lam_cl = jnp.where(r1, pot_lam_cl, state.f_lam_cl)
-    f_lam_ll = jnp.where(r1, pot_lam_ll, state.f_lam_ll)
-    lin_mu = jnp.where(r1, mu, state.lin_mu)
-    robust = jnp.where(relin, robust_new, state.robust)
+    f_eta_c = jnp.where(pl.row_mask(relin, 6), pot_eta_c, f_eta_c0)
+    f_eta_l = jnp.where(pl.row_mask(relin, 3), pot_eta_l, f_eta_l0)
+    f_lam_cc = jnp.where(pl.row_mask(relin, 21), pot_lam_cc, f_lam_cc0)
+    f_lam_cl = jnp.where(pl.row_mask(relin, 18), pot_lam_cl, f_lam_cl0)
+    f_lam_ll = jnp.where(pl.row_mask(relin, 6), pot_lam_ll, f_lam_ll0)
+    r9 = pl.row_mask(relin, 9)
+    lin_mu = jnp.where(r9, mu, lin_mu0)
+    robust = jnp.where(relin, robust_new, robust0)
     if cfg.reset_damping_on_relin and not cfg.relin_every_iter:
         damping = jnp.where(relin, 0.0, damping)
     if not cfg.relin_every_iter:
         damping_count = jnp.where(relin, -cfg.num_undamped_iters,
                                   damping_count)
-    new_mu = jnp.where(a1, mu, state.mu)  # inactive edges keep stale mu
-
-    # --- gather adjacent beliefs (replaces Poplar inter-tile exchange) ---
-    bc_eta = jnp.take(state.cam_eta, graph.cam_idx, axis=1)   # [6, E]
-    bc_lam = jnp.take(state.cam_lam, graph.cam_idx, axis=1)   # [21, E]
-    bl_eta = jnp.take(state.lmk_eta, graph.lmk_idx, axis=1)   # [3, E]
-    bl_lam = jnp.take(state.lmk_lam, graph.lmk_idx, axis=1)   # [6, E]
+    new_mu = jnp.where(pl.row_mask(a1, 9), mu, mu0)  # inactive keep stale mu
 
     # --- factor -> variable messages (reference: gbp_codelets.cpp:382-710) --
     f_cl = pl.unpack_full(f_lam_cl, 6, 3)
@@ -216,11 +281,11 @@ def gbp_sweep(
 
     # to keyframe: marginalise the landmark out (3x3 inverse, closed form)
     cav_ll = pl.add_rel_jitter(
-        pl.unpack_sym(f_lam_ll + bl_lam - state.msg_l_lam, 3),
+        pl.unpack_sym(f_lam_ll + bl_lam - msg_l_lam0, 3),
         cfg.cavity_jitter)
     inv_ll = pl.inv_sym3(cav_ll)
     w_cl = pl.matmul(f_cl, inv_ll)                            # 6x3
-    eta_l_cav = pl.unpack_vec(f_eta_l + bl_eta - state.msg_l_eta, 3)
+    eta_l_cav = pl.unpack_vec(f_eta_l + bl_eta - msg_l_eta0, 3)
     msg_c_eta = pl.pack_vec(pl.vsub(e_c, pl.matvec(w_cl, eta_l_cav)))
     mc_lam = [[None] * 6 for _ in range(6)]
     for i in range(6):
@@ -235,10 +300,10 @@ def gbp_sweep(
 
     # to landmark: marginalise the keyframe out (6x6 Cholesky solves)
     cav_cc = pl.add_rel_jitter(
-        pl.unpack_sym(f_lam_cc + bc_lam - state.msg_c_lam, 6),
+        pl.unpack_sym(f_lam_cc + bc_lam - msg_c_lam0, 6),
         cfg.cavity_jitter)
     l_cc = pl.cholesky(cav_cc)
-    eta_c_cav = pl.unpack_vec(f_eta_c + bc_eta - state.msg_c_eta, 6)
+    eta_c_cav = pl.unpack_vec(f_eta_c + bc_eta - msg_c_eta0, 6)
     y_sol = pl.chol_solve(l_cc, eta_c_cav)
     x_cols = [pl.chol_solve(l_cc, [f_cl[i][a] for i in range(6)])
               for a in range(3)]
@@ -259,20 +324,66 @@ def gbp_sweep(
     # eta messages are damped against the previous message; the reference
     # leaves Lambda undamped (gbp_codelets.cpp:458-462 vs 618-627), while
     # lambda_damping blends both (log-domain damped BP; PSD-preserving).
-    d1 = damping[None, :]
-    msg_c_eta = (1.0 - d1) * msg_c_eta + d1 * state.msg_c_eta
-    msg_l_eta = (1.0 - d1) * msg_l_eta + d1 * state.msg_l_eta
+    def blend(new, old, n_slots):
+        d = pl.row_mask(damping, n_slots)
+        return (1.0 - d) * new + d * old
+
+    msg_c_eta = blend(msg_c_eta, msg_c_eta0, 6)
+    msg_l_eta = blend(msg_l_eta, msg_l_eta0, 3)
     if cfg.lambda_damping:
-        msg_c_lam = (1.0 - d1) * msg_c_lam + d1 * state.msg_c_lam
-        msg_l_lam = (1.0 - d1) * msg_l_lam + d1 * state.msg_l_lam
+        msg_c_lam = blend(msg_c_lam, msg_c_lam0, 21)
+        msg_l_lam = blend(msg_l_lam, msg_l_lam0, 6)
 
     # Inactive factors emit zeros (reference: gbp_codelets.cpp:464-468).
     # jnp.where (not multiply-by-mask) so a non-finite value computed on an
     # inactive/padding edge cannot poison the reduction (NaN * 0 = NaN).
-    msg_c_eta = jnp.where(a1, msg_c_eta, 0.0)
-    msg_l_eta = jnp.where(a1, msg_l_eta, 0.0)
-    msg_c_lam = jnp.where(a1, msg_c_lam, 0.0)
-    msg_l_lam = jnp.where(a1, msg_l_lam, 0.0)
+    msg_c_eta = jnp.where(pl.row_mask(a1, 6), msg_c_eta, 0.0)
+    msg_l_eta = jnp.where(pl.row_mask(a1, 3), msg_l_eta, 0.0)
+    msg_c_lam = jnp.where(pl.row_mask(a1, 21), msg_c_lam, 0.0)
+    msg_l_lam = jnp.where(pl.row_mask(a1, 6), msg_l_lam, 0.0)
+
+    return (f_eta_c, f_eta_l, f_lam_cc, f_lam_cl, f_lam_ll,
+            msg_c_eta, msg_c_lam, msg_l_eta, msg_l_lam,
+            damping, damping_count, new_mu, lin_mu, robust)
+
+
+def _use_pallas(cfg: GBPConfig) -> bool:
+    if cfg.use_pallas == "auto":
+        return jax.default_backend() == "tpu"
+    return bool(cfg.use_pallas)
+
+
+def gbp_sweep(
+    state: GBPState, graph: GBPGraph, cfg: GBPConfig,
+    axis_name: str | None = None,
+) -> GBPState:
+    # --- belief gathers (XLA: dynamic indexing) ---
+    bc_eta = jnp.take(state.cam_eta, graph.cam_idx, axis=1)   # [6, E]
+    bc_lam = jnp.take(state.cam_lam, graph.cam_idx, axis=1)   # [21, E]
+    bl_eta = jnp.take(state.lmk_eta, graph.lmk_idx, axis=1)   # [3, E]
+    bl_lam = jnp.take(state.lmk_lam, graph.lmk_idx, axis=1)   # [6, E]
+
+    inputs = (bc_eta, bc_lam, bl_eta, bl_lam,
+              graph.meas, graph.meas_var,
+              state.f_eta_c, state.f_eta_l, state.f_lam_cc,
+              state.f_lam_cl, state.f_lam_ll,
+              state.msg_c_eta, state.msg_c_lam,
+              state.msg_l_eta, state.msg_l_lam,
+              state.damping, state.damping_count, state.mu, state.lin_mu,
+              state.robust, state.active)
+
+    if _use_pallas(cfg):
+        from ..ops.sweep_kernel import sweep_edge_math_pallas
+        outs = sweep_edge_math_pallas(inputs, graph.k, cfg)
+    else:
+        outs = edge_math(*inputs, graph.k, cfg)
+
+    (f_eta_c, f_eta_l, f_lam_cc, f_lam_cl, f_lam_ll,
+     msg_c_eta, msg_c_lam, msg_l_eta, msg_l_lam,
+     damping, damping_count, new_mu, lin_mu, robust) = outs
+    # per-edge scalar rows come back (1, E) — restore the state's [E] shape
+    damping, damping_count, robust = (
+        damping[0], damping_count[0], robust[0])
 
     state = state._replace(
         f_eta_c=f_eta_c, f_eta_l=f_eta_l, f_lam_cc=f_lam_cc,
@@ -357,11 +468,30 @@ def iteration(
 ) -> GBPState:
     """One scheduled solver iteration: weaken priors on every 2nd iteration
     (flag-gated, so annealing self-terminates after `steps` applications;
-    reference: ba/ba.cpp:1003-1006), then one GBP sweep."""
+    reference: ba/ba.cpp:1003-1006), then one GBP sweep.
+
+    The weaken step is masked dense compute, not a ``lax.cond`` — a cond
+    here costs ~0.2 ms/iter on TPU (it forces the whole state through a
+    branch barrier) while the masked prior scaling is O(C+L) elementwise,
+    i.e. free. Consequently the prep step of the following sweep sees
+    beliefs that are one prior-refresh stale on the ~2*steps annealing
+    iterations (the reference refreshes beliefs inside WEAKEN_PRIORS,
+    ba/ba.cpp:877); the fixed point is unchanged and the sweep's closing
+    belief update applies the new priors immediately after.
+    """
     do_weaken = (i + 1) % 2 == 0
-    state = jax.lax.cond(
-        do_weaken, lambda s: weaken_priors(s, graph, axis_name),
-        lambda s: s, state)
+    cam_live = do_weaken & (state.cam_weaken > 0)
+    lmk_live = do_weaken & (state.lmk_weaken > 0)
+    cs = jnp.where(cam_live, graph.cam_scaling, 1.0)[None, :]
+    ls = jnp.where(lmk_live, graph.lmk_scaling, 1.0)[None, :]
+    state = state._replace(
+        cam_prior_eta=state.cam_prior_eta * cs,
+        cam_prior_lam=state.cam_prior_lam * cs,
+        lmk_prior_eta=state.lmk_prior_eta * ls,
+        lmk_prior_lam=state.lmk_prior_lam * ls,
+        cam_weaken=state.cam_weaken - cam_live.astype(state.cam_weaken.dtype),
+        lmk_weaken=state.lmk_weaken - lmk_live.astype(state.lmk_weaken.dtype),
+    )
     return gbp_sweep(state, graph, cfg, axis_name)
 
 

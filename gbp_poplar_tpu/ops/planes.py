@@ -47,41 +47,71 @@ def sym_slot(i: int, j: int) -> int:
 # pack / unpack
 # ---------------------------------------------------------------------------
 
+# Rows are kept 2-D and are concatenated rather than stacked: the Pallas TPU
+# compiler (Mosaic) requires >= 2-D vector layouts, and XLA fuses the 2-D
+# form identically, so one convention serves both paths.
+#
+# The row HEIGHT is inferred from the packed array: a [n_slots, N] array has
+# (1, N) rows; a "brick" [n_slots*8, N/8] array (used inside the Pallas
+# kernel so every row fills all 8 VPU sublanes instead of 1) has (8, N/8)
+# rows. All plane math is elementwise across rows, so the two layouts run
+# the same trace.
+
+def _row_h(p: jax.Array, n_slots: int) -> int:
+    h, rem = divmod(p.shape[0], n_slots)
+    assert rem == 0, (p.shape, n_slots)
+    return h
+
+
 def unpack_sym(p: jax.Array, d: int) -> list[list[jax.Array]]:
-    """Packed [n_slots, ...] -> symmetric mat of shared row references."""
+    """Packed [n_slots*h, ...] -> symmetric mat of shared (h, N) row views."""
+    idx = SYM6_IDX if d == 6 else SYM3_IDX
+    h = _row_h(p, len(idx))
     m = [[None] * d for _ in range(d)]
-    for s, (i, j) in enumerate(SYM6_IDX if d == 6 else SYM3_IDX):
-        m[i][j] = p[s]
-        m[j][i] = p[s]
+    for s, (i, j) in enumerate(idx):
+        m[i][j] = p[s * h:(s + 1) * h]
+        m[j][i] = m[i][j]
     return m
 
 
 def pack_sym(m: list[list[jax.Array]], d: int) -> jax.Array:
     idx = SYM6_IDX if d == 6 else SYM3_IDX
-    return jnp.stack([m[i][j] for (i, j) in idx])
+    return jnp.concatenate([m[i][j] for (i, j) in idx])
 
 
 def unpack_full(p: jax.Array, rows: int, cols: int) -> list[list[jax.Array]]:
-    """Packed [rows*cols, ...] row-major -> mat."""
-    return [[p[i * cols + j] for j in range(cols)] for i in range(rows)]
+    """Packed [rows*cols*h, ...] row-major -> mat of (h, N) row views."""
+    h = _row_h(p, rows * cols)
+    return [[p[(i * cols + j) * h:(i * cols + j + 1) * h]
+             for j in range(cols)] for i in range(rows)]
 
 
 def pack_full(m: list[list[jax.Array]]) -> jax.Array:
-    return jnp.stack([x for row in m for x in row])
+    return jnp.concatenate([x for row in m for x in row])
 
 
 def unpack_vec(p: jax.Array, d: int) -> list[jax.Array]:
-    return [p[i] for i in range(d)]
+    h = _row_h(p, d)
+    return [p[i * h:(i + 1) * h] for i in range(d)]
 
 
 def pack_vec(v: list[jax.Array]) -> jax.Array:
-    return jnp.stack(v)
+    return jnp.concatenate(v)
+
+
+def row_mask(mask: jax.Array, n_slots: int) -> jax.Array:
+    """Broadcast a single (h, N) row mask across a packed [n_slots*h, N]
+    array (explicit concat — packed rows cannot broadcast against a single
+    row when h > 1)."""
+    if n_slots == 1:
+        return mask
+    return jnp.concatenate([mask] * n_slots)
 
 
 def sym_planes_to_dense(p: jax.Array, d: int) -> jax.Array:
     """Packed [n_slots, N] -> dense [N, d, d] (for oracles/inspection)."""
-    m = unpack_sym(p, d)
-    rows = [jnp.stack([m[i][j] for j in range(d)], axis=-1) for i in range(d)]
+    rows = [jnp.stack([p[sym_slot(i, j)] for j in range(d)], axis=-1)
+            for i in range(d)]
     return jnp.stack(rows, axis=-2)
 
 
@@ -92,8 +122,7 @@ def dense_to_sym_planes(a: jax.Array, d: int) -> jax.Array:
 
 
 def full_planes_to_dense(p: jax.Array, rows: int, cols: int) -> jax.Array:
-    m = unpack_full(p, rows, cols)
-    rr = [jnp.stack([m[i][j] for j in range(cols)], axis=-1)
+    rr = [jnp.stack([p[i * cols + j] for j in range(cols)], axis=-1)
           for i in range(rows)]
     return jnp.stack(rr, axis=-2)
 

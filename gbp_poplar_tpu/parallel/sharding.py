@@ -73,8 +73,11 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 def graph_specs(mesh: Mesh) -> GBPGraph:
     del mesh
+    # cam_onehot is always dropped for sharded graphs (see pad_edges): the
+    # None spec keeps the pytree structures aligned.
     return GBPGraph(**{
-        f: _edge_spec(f) if f in _GRAPH_EDGE_FIELDS else P()
+        f: (None if f == "cam_onehot"
+            else _edge_spec(f) if f in _GRAPH_EDGE_FIELDS else P())
         for f in GBPGraph._fields
     })
 
@@ -105,6 +108,9 @@ def pad_edges(
     Returns (graph, state, n_padded_edges).
     """
     e = graph.n_edges
+    # The dense one-hot camera reduction is a single-chip optimisation; the
+    # sharded path always reduces via per-shard segment_sum + psum.
+    graph = graph._replace(cam_onehot=None)
     pad = (-e) % n_shards
     if pad == 0:
         return graph, state, 0

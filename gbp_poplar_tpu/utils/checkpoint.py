@@ -45,7 +45,9 @@ def save_checkpoint(
         arrays[f"state.{f}"] = np.asarray(getattr(state, f))
     if graph is not None:
         for f in GBPGraph._fields:
-            arrays[f"graph.{f}"] = np.asarray(getattr(graph, f))
+            val = getattr(graph, f)
+            if val is not None:  # optional fields (e.g. cam_onehot)
+                arrays[f"graph.{f}"] = np.asarray(val)
     meta = {"version": _FORMAT_VERSION, "step": int(step)}
     if cfg is not None:
         meta["config"] = {k: getattr(cfg, k)
@@ -74,7 +76,9 @@ def load_checkpoint(
         graph = None
         if f"graph.{GBPGraph._fields[0]}" in z:
             graph = GBPGraph(**{
-                f: jnp.asarray(z[f"graph.{f}"]) for f in GBPGraph._fields})
+                f: (jnp.asarray(z[f"graph.{f}"])
+                    if f"graph.{f}" in z else None)
+                for f in GBPGraph._fields})
     return state, graph, meta
 
 

@@ -16,6 +16,9 @@ from gbp_poplar_tpu.utils import balio, priors as priors_lib
 
 
 def _setup(problem, cfg, dtype=jnp.float64):
+    # GN has no activity mask: build without the GBP graph's edge padding
+    import dataclasses
+    cfg = dataclasses.replace(cfg, edge_pad_multiple=1)
     graph = build_graph(problem, cfg, dtype)
     cam_lam0, lmk_lam0 = priors_lib.prior_lambdas(problem, cfg.meas_var, dtype)
     cam0 = jnp.asarray(problem.cam_means, dtype)
