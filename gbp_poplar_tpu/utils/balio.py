@@ -200,3 +200,68 @@ def synthetic_problem(
         cam_means=cams,
         lmk_means=pts,
     )
+
+
+def synthetic_problem_large(
+    n_keyframes: int = 1723,
+    n_points: int = 156_000,
+    obs_per_lmk: int = 7,
+    seed: int = 0,
+    pixel_noise: float = 0.5,
+) -> BAProblem:
+    """Fully-vectorised generator for Ladybug-scale problems (~1M edges).
+
+    Cameras along a line looking down +z at a deep point cloud; each
+    landmark observed by `obs_per_lmk` consecutive keyframes (a trajectory
+    visibility pattern, like the BAL Ladybug sequences). Unlike
+    :func:`synthetic_problem` there is no per-edge Python loop, so building
+    a million-edge problem takes ~1 s.
+    """
+    rng = np.random.default_rng(seed)
+    fx = fy = 500.0
+    cx, cy = 320.0, 240.0
+    k = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+
+    cams = np.zeros((n_keyframes, 6))
+    cams[:, 0] = np.linspace(0.0, 0.02 * n_keyframes, n_keyframes)
+    cams[:, 1] = rng.normal(0, 0.05, n_keyframes)
+    cams[:, 2] = rng.normal(0, 0.05, n_keyframes)
+    cams[:, 3:] = rng.normal(0, 0.02, (n_keyframes, 3))
+
+    # landmark l lives near the cameras that see it
+    anchor = (np.arange(n_points) * max(1, n_keyframes - obs_per_lmk)
+              // max(1, n_points - 1)).astype(np.int64)
+    anchor = np.minimum(anchor, n_keyframes - obs_per_lmk)
+    pts = np.empty((n_points, 3))
+    pts[:, 0] = cams[anchor, 0] + rng.uniform(-2, 2, n_points)
+    pts[:, 1] = rng.uniform(-2, 2, n_points)
+    pts[:, 2] = rng.uniform(4, 8, n_points)
+
+    # edges: landmark l observed by keyframes anchor..anchor+obs-1
+    lmk_idx = np.repeat(np.arange(n_points, dtype=np.uint32), obs_per_lmk)
+    cam_idx = (np.repeat(anchor, obs_per_lmk)
+               + np.tile(np.arange(obs_per_lmk), n_points)).astype(np.uint32)
+
+    # vectorised projection (batched Rodrigues via the JAX ops would pull in
+    # a device; keep it NumPy)
+    w = cams[cam_idx, 3:]
+    theta = np.linalg.norm(w, axis=1, keepdims=True)
+    theta = np.where(theta < 1e-12, 1e-12, theta)
+    axis = w / theta
+    ct, st = np.cos(theta), np.sin(theta)
+    y = pts[lmk_idx]
+    # Rodrigues: R y = y ct + (axis x y) st + axis (axis.y)(1-ct)
+    cross = np.cross(axis, y)
+    dot = np.sum(axis * y, axis=1, keepdims=True)
+    y_rot = y * ct + cross * st + axis * dot * (1 - ct)
+    y_cf = y_rot + cams[cam_idx, :3]
+    z = np.maximum(y_cf[:, 2], 1e-3)
+    meas = np.stack([fx * y_cf[:, 0] / z + cx, fy * y_cf[:, 1] / z + cy], 1)
+    if pixel_noise > 0:
+        meas = meas + rng.normal(0, pixel_noise, meas.shape)
+
+    return BAProblem(
+        n_keyframes=n_keyframes, n_points=n_points, n_edges=len(cam_idx),
+        k=k, cam_idx=cam_idx, lmk_idx=lmk_idx, measurements=meas,
+        cam_means=cams, lmk_means=pts,
+    )
