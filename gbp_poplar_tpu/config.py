@@ -88,6 +88,10 @@ class GBPConfig:
     # padding edges are inert). Alignment lets the Pallas kernel skip its
     # per-sweep pad/reshape copies; 1024 = 8 sublanes x 128 lanes.
     edge_pad_multiple: int = 1024
+    # Below this many (padded) edges, brick the kernel arrays in HBM (one
+    # whole-array reshape); above it, brick per block inside the kernel
+    # (see ops/sweep_kernel.py).
+    pallas_hbm_brick_max_edges: int = 262144
 
     @property
     def relin_count_threshold(self) -> int:

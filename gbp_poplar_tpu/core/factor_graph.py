@@ -56,6 +56,11 @@ class GBPGraph(NamedTuple):
                             # matmul (MXU) instead of a scatter — ~2x faster
                             # at TUM scale; built only while E*C is small
                             # (see build_graph)
+    # Blocked one-hot reduction indexes (ops/reduce_kernel.py) — replace
+    # XLA scatter at large E, where scatter costs more than the whole sweep
+    # kernel; built when the edge order keeps per-block variable spans small.
+    cam_blocked: object | None         # BlockedIndex or None
+    lmk_blocked: object | None         # BlockedIndex or None
 
     @property
     def n_keyframes(self) -> int:
@@ -122,8 +127,12 @@ GRAPH_EDGE_FIELDS = ("cam_idx", "lmk_idx", "meas", "meas_var")
 
 # Build the camera one-hot reduction matrix only below this size (fp32
 # bytes); above it the memory/bandwidth cost of the dense matmul exceeds the
-# scatter it replaces (Ladybug-scale problems use segment_sum).
+# scatter it replaces (Ladybug-scale problems use the slot reduction).
 CAM_ONEHOT_MAX_BYTES = 64 * 1024 * 1024
+
+# Use the blocked one-hot reduction kernels only above this many padded
+# edges; below it, the one-hot matmul / segment_sum paths are already fast.
+BLOCKED_REDUCE_MIN_EDGES = 1 << 17
 
 
 def padded_n_edges(problem: BAProblem, cfg: GBPConfig) -> int:
@@ -152,6 +161,15 @@ def build_graph(
     if e_pad * c * 4 <= CAM_ONEHOT_MAX_BYTES:
         onehot = (problem.cam_idx[:, None] == np.arange(c)[None, :])
         cam_onehot = jnp.asarray(np.pad(onehot, [(0, pad), (0, 0)]), dtype)
+    cam_blocked = lmk_blocked = None
+    if e_pad >= BLOCKED_REDUCE_MIN_EDGES:
+        from ..ops.reduce_kernel import build_blocked_index
+        if cam_onehot is None:
+            cam_blocked = build_blocked_index(
+                problem.cam_idx, c, block_edges=8192, n_edges_padded=e_pad)
+        lmk_blocked = build_blocked_index(
+            problem.lmk_idx, problem.n_points, block_edges=1024,
+            n_edges_padded=e_pad)
     return GBPGraph(
         cam_idx=jnp.asarray(cam_idx),
         lmk_idx=jnp.asarray(lmk_idx),
@@ -162,6 +180,8 @@ def build_graph(
         lmk_scaling=pr["lmk_scaling"],
         first_kf=jnp.asarray(first_kf),
         cam_onehot=cam_onehot,
+        cam_blocked=cam_blocked,
+        lmk_blocked=lmk_blocked,
     )
 
 

@@ -62,19 +62,29 @@ def update_beliefs(
     (reference: ba/ba.cpp:104-139) riding ICI instead of exchange fabric.
     """
     c, l = graph.n_keyframes, graph.n_points
-    # one fused transpose+scatter per variable kind: [6+21, E] and [3+6, E]
+    # one fused reduction per variable kind: [6+21, E] and [3+6, E]
     cam_planes = jnp.concatenate([state.msg_c_eta, state.msg_c_lam])
     lmk_planes = jnp.concatenate([state.msg_l_eta, state.msg_l_lam])
+
     if graph.cam_onehot is not None:
         # dense MXU reduction (scatter is ~2x slower at this scale); the
         # one-hot rows of padded edges are all-zero, so padding stays inert
         cam_sum = jnp.matmul(cam_planes, graph.cam_onehot,
                              precision=jax.lax.Precision.HIGHEST)  # [27, C]
+    elif graph.cam_blocked is not None:
+        from ..ops.reduce_kernel import blocked_reduce
+        cam_sum = blocked_reduce(cam_planes, graph.cam_idx,
+                                 graph.cam_blocked, c)
     else:
         cam_sum = jax.ops.segment_sum(cam_planes.T, graph.cam_idx,
                                       num_segments=c).T            # [27, C]
-    lmk_sum = jax.ops.segment_sum(lmk_planes.T, graph.lmk_idx,
-                                  num_segments=l).T      # [9, L]
+    if graph.lmk_blocked is not None:
+        from ..ops.reduce_kernel import blocked_reduce
+        lmk_sum = blocked_reduce(lmk_planes, graph.lmk_idx,
+                                 graph.lmk_blocked, l)
+    else:
+        lmk_sum = jax.ops.segment_sum(lmk_planes.T, graph.lmk_idx,
+                                      num_segments=l).T            # [9, L]
     if axis_name is not None:
         cam_sum, lmk_sum = jax.lax.psum((cam_sum, lmk_sum), axis_name)
     return state._replace(
@@ -152,7 +162,7 @@ def weaken_priors(
 # Names/order of the per-edge arrays flowing through the fused edge math —
 # shared by the pure-XLA path and the Pallas kernel (ops/sweep_kernel.py).
 EDGE_MATH_INPUTS = (
-    "bc_eta", "bc_lam", "bl_eta", "bl_lam",     # gathered beliefs
+    "bc", "bl",                                 # gathered beliefs (eta|lam)
     "meas", "meas_var",                         # measurements
     "f_eta_c", "f_eta_l", "f_lam_cc", "f_lam_cl", "f_lam_ll",
     "msg_c_eta", "msg_c_lam", "msg_l_eta", "msg_l_lam",
@@ -166,7 +176,7 @@ EDGE_MATH_OUTPUTS = (
 
 
 def edge_math(
-    bc_eta, bc_lam, bl_eta, bl_lam, meas, meas_var,
+    bc, bl, meas, meas_var,
     f_eta_c0, f_eta_l0, f_lam_cc0, f_lam_cl0, f_lam_ll0,
     msg_c_eta0, msg_c_lam0, msg_l_eta0, msg_l_lam0,
     damping0, damping_count0, mu0, lin_mu0, robust0, active_i,
@@ -194,6 +204,12 @@ def edge_math(
     robust0 = row(robust0)
     active = row(active_i) > 0
     a1 = active
+
+    # split the combined belief gathers (eta | packed Lambda)
+    hc = bc.shape[0] // 27
+    bc_eta, bc_lam = bc[:6 * hc], bc[6 * hc:]
+    hl = bl.shape[0] // 9
+    bl_eta, bl_lam = bl[:3 * hl], bl[3 * hl:]
 
     # --- prep: damping state machine (reference: gbp_codelets.cpp:215-283) --
     damping = jnp.where(active & (damping_count0 == 0),
@@ -357,13 +373,13 @@ def gbp_sweep(
     state: GBPState, graph: GBPGraph, cfg: GBPConfig,
     axis_name: str | None = None,
 ) -> GBPState:
-    # --- belief gathers (XLA: dynamic indexing) ---
-    bc_eta = jnp.take(state.cam_eta, graph.cam_idx, axis=1)   # [6, E]
-    bc_lam = jnp.take(state.cam_lam, graph.cam_idx, axis=1)   # [21, E]
-    bl_eta = jnp.take(state.lmk_eta, graph.lmk_idx, axis=1)   # [3, E]
-    bl_lam = jnp.take(state.lmk_lam, graph.lmk_idx, axis=1)   # [6, E]
+    # --- belief gathers (XLA: dynamic indexing; one gather per kind) ---
+    bc = jnp.take(jnp.concatenate([state.cam_eta, state.cam_lam]),
+                  graph.cam_idx, axis=1)                      # [27, E]
+    bl = jnp.take(jnp.concatenate([state.lmk_eta, state.lmk_lam]),
+                  graph.lmk_idx, axis=1)                      # [9, E]
 
-    inputs = (bc_eta, bc_lam, bl_eta, bl_lam,
+    inputs = (bc, bl,
               graph.meas, graph.meas_var,
               state.f_eta_c, state.f_eta_l, state.f_lam_cc,
               state.f_lam_cl, state.f_lam_ll,

@@ -40,13 +40,25 @@ _OUT_LAYOUT = (
 )
 
 
-def _kernel(cfg: GBPConfig, k_ref, *refs):
+def _kernel(cfg: GBPConfig, sub: int, k_ref, *refs):
     from ..core.gbp import EDGE_MATH_INPUTS, edge_math
 
     n_in = len(EDGE_MATH_INPUTS)
-    vals = [r[...] for r in refs[:n_in]]
+    # Brick the block in VMEM when sub > 1: (comp, BE) -> (comp*sub,
+    # BE/sub) so each logical row fills all `sub` sublanes. With sub == 1
+    # the wrapper already bricked the HBM arrays (cheaper at small E, where
+    # the whole-array reshape is cheap and the per-block relayout is not).
+    vals = []
+    for r in refs[:n_in]:
+        x = r[...]
+        if sub > 1:
+            comp, be = x.shape
+            x = x.reshape(comp * sub, be // sub)
+        vals.append(x)
     outs = edge_math(*vals, k_ref, cfg)
     for r, o in zip(refs[n_in:], outs):
+        if sub > 1:
+            o = o.reshape(r.shape[0], -1)
         r[...] = o.astype(r.dtype)
 
 
@@ -59,13 +71,19 @@ def sweep_edge_math_pallas(inputs: tuple, k: jax.Array, cfg: GBPConfig):
     rows shaped (1, E), matching edge_math's convention).
     """
     e = inputs[0].shape[-1]
-    # "Brick" layout: each (comp, E) plane array is reshaped to
-    # (comp*SUB, E/SUB) so a logical row occupies all SUB sublanes of the
-    # VPU instead of 1 of 8 — the single biggest lever on kernel throughput.
     sub = 8
-    e_pad = _round_up(e, max(cfg.pallas_block_edges, sub * 128))
-    be = min(cfg.pallas_block_edges, e_pad) // sub   # brick-lane block
+    block = max(cfg.pallas_block_edges, sub * 128)
+    e_pad = _round_up(e, block)
     pad = e_pad - e
+    # Two bricking strategies (a brick row (8, N/8) fills all VPU sublanes;
+    # a flat (1, N) row uses 1 of 8):
+    #   - small E: pre-brick whole arrays in HBM (one cheap reshape each;
+    #     Mosaic's per-block VMEM relayout is comparatively expensive)
+    #   - large E: brick per block inside the kernel (the HBM-side reshape
+    #     of ~270 planes costs more than the entire kernel at 1M edges)
+    hbm_brick = e_pad <= cfg.pallas_hbm_brick_max_edges
+    kernel_sub = 1 if hbm_brick else sub
+    be = block // sub if hbm_brick else block
 
     def prep(x):
         if x.ndim == 1:
@@ -74,12 +92,16 @@ def sweep_edge_math_pallas(inputs: tuple, k: jax.Array, cfg: GBPConfig):
             x = x.astype(jnp.uint8)
         if pad:
             x = jnp.pad(x, [(0, 0), (0, pad)])
-        return x.reshape(x.shape[0] * sub, e_pad // sub)
+        if hbm_brick:
+            x = x.reshape(x.shape[0] * sub, e_pad // sub)
+        return x
 
     prepped = [prep(x) for x in inputs]
     f = prepped[0].dtype
     dt = {"f": f, "i": jnp.int32, "u": jnp.uint8}
-    out_shapes = [jax.ShapeDtypeStruct((n * sub, e_pad // sub), dt[kind])
+    oshape = ((lambda n: (n * sub, e_pad // sub)) if hbm_brick
+              else (lambda n: (n, e_pad)))
+    out_shapes = [jax.ShapeDtypeStruct(oshape(n), dt[kind])
                   for (n, kind) in _OUT_LAYOUT]
 
     def spec(shape):
@@ -87,16 +109,16 @@ def sweep_edge_math_pallas(inputs: tuple, k: jax.Array, cfg: GBPConfig):
                              memory_space=pltpu.VMEM)
 
     n_planes_in = sum(x.shape[0] for x in prepped)
-    n_planes_out = sum(n * sub for (n, _) in _OUT_LAYOUT)
+    n_planes_out = sum(s.shape[0] for s in out_shapes)
     cost = plx.CostEstimate(
         flops=3000 * e_pad,
-        bytes_accessed=(n_planes_in + n_planes_out) * (e_pad // sub) * 4,
+        bytes_accessed=(n_planes_in + n_planes_out) * e_pad * 4,
         transcendentals=12 * e_pad,   # sqrt/sin/cos in Rodrigues + Cholesky
     )
 
     outs = plx.pallas_call(
-        functools.partial(_kernel, cfg),
-        grid=(e_pad // sub // be,),
+        functools.partial(_kernel, cfg, kernel_sub),
+        grid=(e_pad // (sub * be) if hbm_brick else e_pad // be,),
         in_specs=([plx.BlockSpec(memory_space=pltpu.SMEM)]      # intrinsics
                   + [spec(x.shape) for x in prepped]),
         out_specs=[spec(s.shape) for s in out_shapes],
@@ -104,7 +126,11 @@ def sweep_edge_math_pallas(inputs: tuple, k: jax.Array, cfg: GBPConfig):
         cost_estimate=cost,
     )(k, *prepped)
 
-    outs = [o.reshape(o.shape[0] // sub, e_pad)[:, :e] for o in outs]
+    outs = list(outs)
+    if hbm_brick:
+        outs = [o.reshape(o.shape[0] // sub, e_pad) for o in outs]
+    if pad:
+        outs = [o[:, :e] for o in outs]
     outs[-1] = outs[-1].astype(jnp.bool_)   # robust back to bool
     return tuple(outs)
 

@@ -71,12 +71,17 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (EDGE_AXIS,))
 
 
+# Single-chip reduction accelerators; dropped for sharded graphs (see
+# pad_edges) — their indices are global-edge-ordered and do not shard.
+_GRAPH_DROPPED_FIELDS = frozenset({
+    "cam_onehot", "cam_blocked", "lmk_blocked",
+})
+
+
 def graph_specs(mesh: Mesh) -> GBPGraph:
     del mesh
-    # cam_onehot is always dropped for sharded graphs (see pad_edges): the
-    # None spec keeps the pytree structures aligned.
     return GBPGraph(**{
-        f: (None if f == "cam_onehot"
+        f: (None if f in _GRAPH_DROPPED_FIELDS
             else _edge_spec(f) if f in _GRAPH_EDGE_FIELDS else P())
         for f in GBPGraph._fields
     })
@@ -108,9 +113,11 @@ def pad_edges(
     Returns (graph, state, n_padded_edges).
     """
     e = graph.n_edges
-    # The dense one-hot camera reduction is a single-chip optimisation; the
-    # sharded path always reduces via per-shard segment_sum + psum.
-    graph = graph._replace(cam_onehot=None)
+    # One-hot / slot reductions are single-chip optimisations keyed on the
+    # global edge order; the sharded path always reduces via per-shard
+    # segment_sum + psum.
+    graph = graph._replace(cam_onehot=None, cam_blocked=None,
+                           lmk_blocked=None)
     pad = (-e) % n_shards
     if pad == 0:
         return graph, state, 0

@@ -46,7 +46,9 @@ def save_checkpoint(
     if graph is not None:
         for f in GBPGraph._fields:
             val = getattr(graph, f)
-            if val is not None:  # optional fields (e.g. cam_onehot)
+            # persist plain arrays only; derived accelerator structures
+            # (cam_onehot, BlockedIndex) are rebuilt by build_graph
+            if val is not None and hasattr(val, "shape"):
                 arrays[f"graph.{f}"] = np.asarray(val)
     meta = {"version": _FORMAT_VERSION, "step": int(step)}
     if cfg is not None:

@@ -1,0 +1,71 @@
+"""Blocked one-hot reduction: index-builder logic (NumPy) + kernel parity
+(TPU only — the kernels are gated to large problems and real hardware)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gbp_poplar_tpu.ops import reduce_kernel as rk
+
+on_tpu = jax.default_backend() == "tpu"
+
+
+def _oracle(planes, idx, n_var):
+    out = np.zeros((planes.shape[0], n_var), planes.dtype)
+    np.add.at(out.T, idx, np.asarray(planes).T)
+    return out
+
+
+def test_build_blocked_index_sorted():
+    idx = np.repeat(np.arange(100), 11)     # 1100 edges, sorted
+    b = rk.build_blocked_index(idx, 100, block_edges=128)
+    assert b is not None
+    # sorted + uniform density -> windows cover every block's span
+    base = np.asarray(b.base)
+    blocks = np.pad(idx, (0, len(base) * 128 - len(idx)),
+                    constant_values=idx[-1]).reshape(-1, 128)
+    assert (blocks.min(1) >= base).all()
+    assert (blocks.max(1) < base + b.w).all()
+
+
+def test_build_blocked_index_rejects_shuffled():
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, 5000, 10000)
+    assert rk.build_blocked_index(idx, 5000, block_edges=512) is None
+
+
+@pytest.mark.skipif(not on_tpu, reason="Pallas TPU kernel")
+def test_blocked_reduce_matches_segment_sum():
+    rng = np.random.default_rng(1)
+    n_var, deg = 4000, 7
+    idx = np.repeat(np.arange(n_var), deg)
+    e = len(idx)
+    e_pad = -(-e // 1024) * 1024
+    planes = rng.normal(0, 1, (9, e_pad)).astype(np.float32)
+    planes[:, e:] = 0.0
+    idx_pad = np.pad(idx, (0, e_pad - e)).astype(np.int32)
+    b = rk.build_blocked_index(idx, n_var, block_edges=1024,
+                               n_edges_padded=e_pad)
+    assert b is not None
+    got = np.asarray(rk.blocked_reduce(
+        jnp.asarray(planes), jnp.asarray(idx_pad), b, n_var))
+    ref = _oracle(planes[:, :e], idx, n_var)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.skipif(not on_tpu, reason="Pallas TPU kernel")
+def test_blocked_reduce_structured_combine_path():
+    """Uniform density triggers the scatter-free stride combine."""
+    rng = np.random.default_rng(2)
+    n_var, deg = 8192, 8
+    idx = np.repeat(np.arange(n_var), deg)
+    e = len(idx)
+    b = rk.build_blocked_index(idx, n_var, block_edges=1024,
+                               n_edges_padded=e)
+    assert b is not None and b.combine_ids is None and b.k >= 1
+    planes = rng.normal(0, 1, (3, e)).astype(np.float32)
+    got = np.asarray(rk.blocked_reduce(
+        jnp.asarray(planes), jnp.asarray(idx.astype(np.int32)), b, n_var))
+    ref = _oracle(planes, idx, n_var)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
