@@ -246,12 +246,15 @@ def edge_math(
         return jnp.sqrt(acc)
 
     dmu = _norm_rows(mu - mu0, 9)
+    # a non-finite mean (belief turned indefinite upstream) must never be
+    # adopted as a linearisation point or stored state
+    mu_ok = jnp.isfinite(dmu)
 
     if cfg.relin_every_iter:
-        relin = active
+        relin = active & mu_ok
     else:
         relin = (
-            active
+            active & mu_ok
             & (dmu < cfg.dmu_threshold)
             & (damping_count > cfg.relin_count_threshold)
         )
@@ -286,7 +289,7 @@ def edge_math(
     if not cfg.relin_every_iter:
         damping_count = jnp.where(relin, -cfg.num_undamped_iters,
                                   damping_count)
-    new_mu = jnp.where(pl.row_mask(a1, 9), mu, mu0)  # inactive keep stale mu
+    new_mu = jnp.where(pl.row_mask(a1 & mu_ok, 9), mu, mu0)
 
     # --- factor -> variable messages (reference: gbp_codelets.cpp:382-710) --
     f_cl = pl.unpack_full(f_lam_cl, 6, 3)
@@ -299,6 +302,10 @@ def edge_math(
     cav_ll = pl.add_rel_jitter(
         pl.unpack_sym(f_lam_ll + bl_lam - msg_l_lam0, 3),
         cfg.cavity_jitter)
+    # per-edge PSD guard: an indefinite cavity means this edge's message is
+    # not computable this sweep — hold the previous message instead of
+    # inverting garbage (the reference faults via FP traps here)
+    ok_ll = pl.sym3_posdef(cav_ll)
     inv_ll = pl.inv_sym3(cav_ll)
     w_cl = pl.matmul(f_cl, inv_ll)                            # 6x3
     eta_l_cav = pl.unpack_vec(f_eta_l + bl_eta - msg_l_eta0, 3)
@@ -318,7 +325,8 @@ def edge_math(
     cav_cc = pl.add_rel_jitter(
         pl.unpack_sym(f_lam_cc + bc_lam - msg_c_lam0, 6),
         cfg.cavity_jitter)
-    l_cc = pl.cholesky(cav_cc)
+    l_cc, min_pivot = pl.cholesky_with_pivot(cav_cc)
+    ok_cc = min_pivot > 0
     eta_c_cav = pl.unpack_vec(f_eta_c + bc_eta - msg_c_eta0, 6)
     y_sol = pl.chol_solve(l_cc, eta_c_cav)
     x_cols = [pl.chol_solve(l_cc, [f_cl[i][a] for i in range(6)])
@@ -349,6 +357,12 @@ def edge_math(
     if cfg.lambda_damping:
         msg_c_lam = blend(msg_c_lam, msg_c_lam0, 21)
         msg_l_lam = blend(msg_l_lam, msg_l_lam0, 6)
+
+    # PSD guards: hold the previous message where the cavity was indefinite
+    msg_c_eta = jnp.where(pl.row_mask(ok_ll, 6), msg_c_eta, msg_c_eta0)
+    msg_c_lam = jnp.where(pl.row_mask(ok_ll, 21), msg_c_lam, msg_c_lam0)
+    msg_l_eta = jnp.where(pl.row_mask(ok_cc, 3), msg_l_eta, msg_l_eta0)
+    msg_l_lam = jnp.where(pl.row_mask(ok_cc, 6), msg_l_lam, msg_l_lam0)
 
     # Inactive factors emit zeros (reference: gbp_codelets.cpp:464-468).
     # jnp.where (not multiply-by-mask) so a non-finite value computed on an
@@ -438,8 +452,12 @@ def reprojection_error(
     ru = graph.meas[0] - u
     rv = graph.meas[1] - v
     norm = jnp.sqrt(ru * ru + rv * rv)
-    active = (state.active > 0).astype(norm.dtype)
-    norm = jnp.where(state.active > 0, norm, 0.0)
+    # exclude edges whose adjacent belief is numerically singular (the mean
+    # solve overflows); they are transient during annealing/insertion and
+    # would otherwise wipe the whole telemetry to NaN
+    valid = (state.active > 0)[None] & jnp.isfinite(norm)
+    active = valid.astype(norm.dtype)
+    norm = jnp.where(valid, norm, 0.0)
     n_active = jnp.sum(active)
     sum_norm = jnp.sum(norm)
     cost = 0.5 * jnp.sum(norm * norm)

@@ -57,6 +57,15 @@ def insert_keyframe(
     prev_lam = pl.unpack_sym(state.cam_lam[:, new_kf - 1], 6)    # scalars
     prev_eta = pl.unpack_vec(state.cam_eta[:, new_kf - 1], 6)
     mu_prev = pl.solve_sym(prev_lam, prev_eta)                   # 6 scalars
+    # A near-singular previous belief (weakly constrained keyframe after
+    # prior annealing) must not poison the handoff: fall back to the
+    # previous keyframe's PRIOR mean, which always exists and is finite.
+    handoff_ok = jnp.isfinite(sum(jnp.abs(m) for m in mu_prev))
+    prev_prior_mu = pl.solve_sym(
+        pl.unpack_sym(state.cam_prior_lam[:, new_kf - 1], 6),
+        pl.unpack_vec(state.cam_prior_eta[:, new_kf - 1], 6))
+    mu_prev = [jnp.where(handoff_ok, m, p)
+               for m, p in zip(mu_prev, prev_prior_mu)]
     new_prior_lam = pl.unpack_sym(state.cam_prior_lam[:, new_kf], 6)
     new_cam_eta = pl.pack_vec(pl.matvec(new_prior_lam, mu_prev))
     cam_prior_eta = state.cam_prior_eta.at[:, new_kf].set(
@@ -110,6 +119,9 @@ def _linearise_masked(
     """Relinearise only the edges in `mask` at current belief means."""
     f_eta_c, f_eta_l, f_lam_cc, f_lam_cl, f_lam_ll, robust, mu = (
         gbp._linearise_planes(state, graph, cfg))
+    # never adopt a linearisation at a non-finite mean (a weakly-constrained
+    # adjacent belief can be numerically singular right after insertion)
+    mask = mask & jnp.isfinite(jnp.sum(jnp.abs(mu), axis=0))
     m1 = mask[None, :]
     return state._replace(
         f_eta_c=jnp.where(m1, f_eta_c, state.f_eta_c),

@@ -36,6 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    common.maybe_force_platform()
     import jax
 
     cfg, init_cfg = common.config_from_args(args)

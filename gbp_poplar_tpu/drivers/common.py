@@ -8,8 +8,22 @@ trajectory export, profiling) are new capabilities the reference lacks.
 from __future__ import annotations
 
 import argparse
+import os
 
 from ..config import GBPConfig, InitConfig
+
+
+def maybe_force_platform() -> None:
+    """Honour GBP_PLATFORM=cpu|tpu before any JAX backend initialises.
+
+    (The plain JAX_PLATFORMS env var is ignored by some site TPU plugins;
+    the config update always wins if applied early enough.)
+    """
+    plat = os.environ.get("GBP_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
 
 def add_common_args(p: argparse.ArgumentParser) -> None:
@@ -60,6 +74,13 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "reference damps only eta)")
     p.add_argument("--no_lambda_damping", dest="lambda_damping",
                    action="store_false")
+    p.add_argument("--schedule", choices=["reference", "gn"],
+                   default="reference",
+                   help="'reference' = the IPU reference's lazy-"
+                        "relinearisation schedule; 'gn' = relinearise every "
+                        "sweep with Lambda damping 0.7 (damped Gauss-Newton "
+                        "message passing — free on TPU, more robust on hard "
+                        "sequences such as fr1desk)")
 
 
 def config_from_args(
@@ -71,16 +92,19 @@ def config_from_args(
                    else args.relin_drift)
     lambda_damping = (default_lambda_damping if args.lambda_damping is None
                       else args.lambda_damping)
+    gn_schedule = getattr(args, "schedule", "reference") == "gn"
     cfg = GBPConfig(
         meas_var=args.reproj_meas_var,
         prior_std_weaker_factor=args.prior_std_weaker_factor,
         first_cam_prior_std=args.first_cam_prior_std,
         steps=args.steps,
-        iters_before_damping=args.undamped_start,
+        iters_before_damping=0 if gn_schedule else args.undamped_start,
         n_iters=getattr(args, "n_iters", 1500),
         iters_between_kfs=getattr(args, "iters_between_kfs", 700),
         relin_drift_threshold=relin_drift,
-        lambda_damping=lambda_damping,
+        lambda_damping=True if gn_schedule else lambda_damping,
+        relin_every_iter=gn_schedule,
+        eta_damping=0.7 if gn_schedule else 0.4,
     )
     init_cfg = InitConfig(
         trans_noise=args.tn, rot_noise=args.rn, lmk_noise=args.ltn,

@@ -32,6 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    common.maybe_force_platform()
     # Incremental solves are stabilised by drift-triggered relinearisation +
     # PSD-preserving Lambda damping (late keyframes otherwise oscillate on
     # fr2robot2); --relin_drift 0 --no_lambda_damping restores the exact

@@ -215,17 +215,31 @@ def add_rel_jitter(m: list[list[jax.Array]], rel_eps: float):
     return out
 
 
-def cholesky(m: list[list[jax.Array]]) -> list[list[jax.Array]]:
+def cholesky(m: list[list[jax.Array]]):
     """Lower-triangular Cholesky factor, unrolled (cf. the reference's LDL^T,
-    ba/matlib.cpp:180-222). Entries above the diagonal are None."""
+    ba/matlib.cpp:180-222)."""
+    l, _ = cholesky_with_pivot(m)
+    return l
+
+
+def cholesky_with_pivot(m: list[list[jax.Array]]):
+    """Cholesky factor plus the minimum pivot (pre-sqrt) per element.
+
+    The pivots are the Sylvester minors' ratios: min_pivot > 0 iff the
+    matrix is positive definite — the per-edge PSD check that lets the
+    solver hold back a message instead of inverting an indefinite cavity
+    (the reference faults on these via hardware FP traps, ba/ba.cpp:888).
+    """
     d = len(m)
     l = [[None] * d for _ in range(d)]
+    min_pivot = None
     for j in range(d):
         s = m[j][j]
         for k in range(j):
             s = s - l[j][k] * l[j][k]
-        # max() guards exact zeros from inactive/padded edges; genuine
-        # negative pivots are prevented upstream by the cavity jitter
+        min_pivot = s if min_pivot is None else jnp.minimum(min_pivot, s)
+        # max() keeps the factorisation finite past a bad pivot; callers
+        # discard those lanes via min_pivot
         diag = jnp.sqrt(jnp.maximum(s, 1e-30))
         l[j][j] = diag
         inv_d = 1.0 / diag
@@ -234,7 +248,18 @@ def cholesky(m: list[list[jax.Array]]) -> list[list[jax.Array]]:
             for k in range(j):
                 v = v - l[i][k] * l[j][k]
             l[i][j] = v * inv_d
-    return l
+    return l, min_pivot
+
+
+def sym3_posdef(m: list[list[jax.Array]]) -> jax.Array:
+    """Sylvester positive-definiteness test for symmetric 3x3 (row of bool)."""
+    m00, m01, m02 = m[0][0], m[0][1], m[0][2]
+    m11, m12, m22 = m[1][1], m[1][2], m[2][2]
+    det2 = m00 * m11 - m01 * m01
+    det3 = (m00 * (m11 * m22 - m12 * m12)
+            - m01 * (m01 * m22 - m12 * m02)
+            + m02 * (m01 * m12 - m11 * m02))
+    return (m00 > 0) & (det2 > 0) & (det3 > 0)
 
 
 def chol_solve(l: list[list[jax.Array]], rhs: list[jax.Array]) -> list[jax.Array]:

@@ -58,6 +58,8 @@ def ate_rmse(
     """Absolute trajectory error (RMSE of camera centres, metres)."""
     est = camera_centers(np.asarray(est_cam_means))
     ref = camera_centers(np.asarray(ref_cam_means))
+    if not (np.isfinite(est).all() and np.isfinite(ref).all()):
+        return float("inf")
     if align:
         r, t, s = umeyama_align(est, ref, with_scale)
         est = (s * (r @ est.T)).T + t
