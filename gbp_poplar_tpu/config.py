@@ -83,7 +83,9 @@ class GBPConfig:
     # correctness oracle on CPU).
     use_pallas: bool | str = "auto"
     # Edge-block size for the Pallas kernel (lanes; multiple of 128).
-    pallas_block_edges: int = 2048
+    # 1024 measured best at both TUM scale (0.30 vs 0.34 ms/sweep) and
+    # 1M-edge scale (18.6 vs 20.8 ms/sweep) on v5e.
+    pallas_block_edges: int = 1024
     # Pad the edge axis to a multiple of this at graph build time (inactive
     # padding edges are inert). Alignment lets the Pallas kernel skip its
     # per-sweep pad/reshape copies; 1024 = 8 sublanes x 128 lanes.

@@ -129,6 +129,32 @@ def linearise_all(state: GBPState, graph: GBPGraph, cfg: GBPConfig) -> GBPState:
         f_lam_cl=f_lam_cl, f_lam_ll=f_lam_ll, robust=robust, lin_mu=mu)
 
 
+def recenter_priors(
+    state: GBPState,
+    cam_mu: jax.Array | None = None,
+    lmk_mu: jax.Array | None = None,
+) -> GBPState:
+    """Recompute prior eta = Lambda_prior @ mu for the given means.
+
+    TPU equivalent of the reference's ``update_eta`` (ba/util.cpp:146-181):
+    re-centres the priors (keeping their strengths) at new means — e.g. a
+    solution imported from another solver. ``cam_mu`` is [C, 6] row-major,
+    ``lmk_mu`` [L, 3]; omitted kinds keep their current prior means.
+    """
+    upd = {}
+    if cam_mu is not None:
+        rows = pl.matvec(pl.unpack_sym(state.cam_prior_lam, 6),
+                         pl.unpack_vec(jnp.asarray(cam_mu).T, 6))
+        upd["cam_prior_eta"] = pl.pack_vec(rows).astype(
+            state.cam_prior_eta.dtype)
+    if lmk_mu is not None:
+        rows = pl.matvec(pl.unpack_sym(state.lmk_prior_lam, 3),
+                         pl.unpack_vec(jnp.asarray(lmk_mu).T, 3))
+        upd["lmk_prior_eta"] = pl.pack_vec(rows).astype(
+            state.lmk_prior_eta.dtype)
+    return state._replace(**upd) if upd else state
+
+
 # ---------------------------------------------------------------------------
 # prior annealing (reference: gbp_codelets.cpp:176-197 + ba/ba.cpp:1003-1006)
 # ---------------------------------------------------------------------------

@@ -91,3 +91,25 @@ def test_kl_divergence_properties():
     kl_np = 0.5 * (np.trace(np.linalg.inv(s1) @ s0) + d @ l1 @ d - 3
                    + np.log(np.linalg.det(s1) / np.linalg.det(s0)))
     np.testing.assert_allclose(kl01[0], kl_np, rtol=1e-3)
+
+
+def test_recenter_priors(synthetic):
+    """recenter_priors == the reference's update_eta semantics: prior means
+    move to the given values, strengths unchanged."""
+    from gbp_poplar_tpu.ops import planes as pl
+
+    cfg = GBPConfig()
+    graph = build_graph(synthetic, cfg)
+    state = init_state(synthetic, cfg)
+    rng = np.random.default_rng(3)
+    new_mu = rng.normal(0, 1, (synthetic.n_keyframes, 6)).astype(np.float32)
+    state2 = gbp.recenter_priors(state, cam_mu=new_mu)
+    # solve back the prior means
+    got = np.asarray(pl.pack_vec(pl.solve_sym(
+        pl.unpack_sym(state2.cam_prior_lam, 6),
+        pl.unpack_vec(state2.cam_prior_eta, 6)))).T
+    np.testing.assert_allclose(got, new_mu, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(state2.cam_prior_lam),
+                                  np.asarray(state.cam_prior_lam))
+    np.testing.assert_array_equal(np.asarray(state2.lmk_prior_eta),
+                                  np.asarray(state.lmk_prior_eta))
