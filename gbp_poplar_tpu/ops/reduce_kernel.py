@@ -196,9 +196,9 @@ def _gather_kernel(w: int, comp: int, base_ref, idx_ref, src_ref, out_ref):
     v0 = base_ref[i]
 
     def inner(window, sem):
-        # DMA the [W, comp] window of the (variable-major) source; dynamic
-        # DMA offsets are only supported on the major axis, which is why the
-        # source is stored transposed
+        # DMA the [W, 128] window of the (variable-major, lane-padded)
+        # source; dynamic DMA offsets are only supported on the major axis
+        # and DMA shapes need 128-aligned lanes, hence transpose + pad
         dma = pltpu.make_async_copy(
             src_ref.at[plx.ds(v0, w), :], window, sem)
         dma.start()
@@ -209,11 +209,11 @@ def _gather_kernel(w: int, comp: int, base_ref, idx_ref, src_ref, out_ref):
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        ).astype(out_ref.dtype)                              # [comp, BE]
+        )[:comp].astype(out_ref.dtype)                       # [comp, BE]
 
     plx.run_scoped(
         inner,
-        window=pltpu.VMEM((w, comp), jnp.float32),
+        window=pltpu.VMEM((w, 128), jnp.float32),
         sem=pltpu.SemaphoreType.DMA(()),
     )
 
@@ -230,10 +230,12 @@ def blocked_gather(
     if pad:
         idx = jnp.pad(idx, (0, pad))
 
-    # variable-major source (dynamic DMA offsets need the major axis);
-    # window reads need v0 + W <= padded V
+    # variable-major source (dynamic DMA offsets need the major axis),
+    # lane-padded to 128 (DMA shape alignment); window reads need
+    # v0 + W <= padded V
     v_pad = (-n_var) % 128 + bidx.w
-    src_pad = jnp.pad(src.astype(jnp.float32).T, [(0, v_pad), (0, 0)])
+    src_pad = jnp.pad(src.astype(jnp.float32).T,
+                      [(0, v_pad), (0, 128 - comp)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),

@@ -69,3 +69,19 @@ def test_blocked_reduce_structured_combine_path():
         jnp.asarray(planes), jnp.asarray(idx.astype(np.int32)), b, n_var))
     ref = _oracle(planes, idx, n_var)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.skipif(not on_tpu, reason="Pallas TPU kernel")
+def test_blocked_gather_matches_take():
+    rng = np.random.default_rng(3)
+    n_var, deg = 3000, 7
+    idx = np.repeat(np.arange(n_var), deg)
+    e = len(idx)
+    e_pad = -(-e // 1024) * 1024
+    idx_pad = np.pad(idx, (0, e_pad - e)).astype(np.int32)
+    b = rk.build_blocked_index(idx, n_var, block_edges=1024,
+                               n_edges_padded=e_pad)
+    src = jnp.asarray(rng.normal(0, 1, (9, n_var)).astype(np.float32))
+    got = np.asarray(rk.blocked_gather(src, jnp.asarray(idx_pad), b))
+    ref = np.asarray(jnp.take(src, jnp.asarray(idx), axis=1))
+    np.testing.assert_array_equal(got[:, :e], ref)
