@@ -124,3 +124,22 @@ def test_sharded_sweep_and_init(problem):
     state = solver.initialise(state, graph)
     state = solver.sweep(state, graph)
     assert np.isfinite(np.asarray(state.cam_eta)).all()
+
+
+def test_sharded_pallas_on_tpu():
+    """The Pallas sweep kernel must compile and converge inside shard_map
+    (the multi-chip execution path on real hardware)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the Pallas TPU kernel")
+    from gbp_poplar_tpu.utils import balio
+    prob = balio.synthetic_problem(n_keyframes=6, n_points=60, seed=0,
+                                   pixel_noise=0.5)
+    cfg = GBPConfig(use_pallas=True)
+    mesh = make_mesh(1)
+    solver = make_sharded_solver(mesh, cfg)
+    graph, state = solver.prepare(build_graph(prob, cfg),
+                                  init_state(prob, cfg))
+    final, diag = solver.solve(state, graph, 60)
+    errs = np.asarray(diag.reproj_err)
+    assert np.isfinite(errs).all()
+    assert errs[-1] < errs[0]
