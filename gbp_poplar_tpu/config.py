@@ -74,9 +74,6 @@ class GBPConfig:
     # previous potential is kept. <= 0 disables.
     min_depth: float = 0.05
 
-    # --- numerics ---
-    dtype: str = "float32"
-
     # --- execution ---
     # Fuse the per-edge sweep body into one Pallas TPU kernel ("auto" =
     # only when running on TPU; the pure-XLA path is the fallback and the
