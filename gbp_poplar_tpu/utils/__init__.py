@@ -1,3 +1,3 @@
 """Host-side utilities: data IO, priors, flags, evaluation, checkpointing."""
 
-from . import analysis, balio, checkpoint, evaluation, flags, priors  # noqa: F401
+from . import analysis, balio, checkpoint, debug, evaluation, flags, priors  # noqa: F401

@@ -113,3 +113,17 @@ def test_recenter_priors(synthetic):
                                   np.asarray(state.cam_prior_lam))
     np.testing.assert_array_equal(np.asarray(state2.lmk_prior_eta),
                                   np.asarray(state.lmk_prior_eta))
+
+
+def test_debug_dump_edge(synthetic):
+    from gbp_poplar_tpu.utils import debug
+    cfg = GBPConfig()
+    graph = build_graph(synthetic, cfg)
+    state = gbp.initialise(init_state(synthetic, cfg), graph, cfg)
+    state = gbp.gbp_sweep(state, graph, cfg)
+    info = debug.dump_edge(state, graph, 3)
+    assert info["f_lam_cc"].shape == (6, 6)
+    assert info["f_lam_cl"].shape == (6, 3)
+    np.testing.assert_allclose(info["f_lam_cc"], info["f_lam_cc"].T)
+    assert np.isfinite(info["msg_to_cam_eta"]).all()
+    debug.print_edge(state, graph, 3)   # smoke: formats without error
