@@ -51,7 +51,8 @@ def _variable_means(state: GBPState) -> tuple[jax.Array, jax.Array]:
 # ---------------------------------------------------------------------------
 
 def update_beliefs(
-    state: GBPState, graph: GBPGraph, axis_name: str | None = None
+    state: GBPState, graph: GBPGraph, axis_name: str | None = None,
+    lmk_sharded: bool = False,
 ) -> GBPState:
     """belief = prior + sum of incoming messages (scatter-add over edges).
 
@@ -60,6 +61,11 @@ def update_beliefs(
     axis over which the partials are ``psum``-reduced — the TPU-native
     equivalent of Poplar's cross-tile ``reduceWithOutput``
     (reference: ba/ba.cpp:104-139) riding ICI instead of exchange fabric.
+
+    With ``lmk_sharded`` (map-partitioned mode: each shard owns a landmark
+    block and ALL of its edges), the landmark reduction is purely local —
+    only the keyframes are boundary variables, so the psum payload shrinks
+    to O(27*C) floats regardless of problem size.
     """
     c, l = graph.n_keyframes, graph.n_points
     # one fused reduction per variable kind: [6+21, E] and [3+6, E]
@@ -86,7 +92,10 @@ def update_beliefs(
         lmk_sum = jax.ops.segment_sum(lmk_planes.T, graph.lmk_idx,
                                       num_segments=l).T            # [9, L]
     if axis_name is not None:
-        cam_sum, lmk_sum = jax.lax.psum((cam_sum, lmk_sum), axis_name)
+        if lmk_sharded:
+            cam_sum = jax.lax.psum(cam_sum, axis_name)
+        else:
+            cam_sum, lmk_sum = jax.lax.psum((cam_sum, lmk_sum), axis_name)
     return state._replace(
         cam_eta=state.cam_prior_eta + cam_sum[:6],
         cam_lam=state.cam_prior_lam + cam_sum[6:],
@@ -160,7 +169,8 @@ def recenter_priors(
 # ---------------------------------------------------------------------------
 
 def weaken_priors(
-    state: GBPState, graph: GBPGraph, axis_name: str | None = None
+    state: GBPState, graph: GBPGraph, axis_name: str | None = None,
+    lmk_sharded: bool = False,
 ) -> GBPState:
     """Scale priors by the per-variable annealing factor while the weaken
     flag is live, decrementing the flag; then refresh beliefs."""
@@ -178,7 +188,7 @@ def weaken_priors(
         cam_weaken=state.cam_weaken - cam_live.astype(state.cam_weaken.dtype),
         lmk_weaken=state.lmk_weaken - lmk_live.astype(state.lmk_weaken.dtype),
     )
-    return update_beliefs(state, graph, axis_name)
+    return update_beliefs(state, graph, axis_name, lmk_sharded)
 
 
 # ---------------------------------------------------------------------------
@@ -411,7 +421,7 @@ def _use_pallas(cfg: GBPConfig) -> bool:
 
 def gbp_sweep(
     state: GBPState, graph: GBPGraph, cfg: GBPConfig,
-    axis_name: str | None = None,
+    axis_name: str | None = None, lmk_sharded: bool = False,
 ) -> GBPState:
     # --- belief gathers (XLA: dynamic indexing; one gather per kind) ---
     bc = jnp.take(jnp.concatenate([state.cam_eta, state.cam_lam]),
@@ -451,7 +461,7 @@ def gbp_sweep(
     )
 
     # --- belief update (reduce) ---
-    return update_beliefs(state, graph, axis_name)
+    return update_beliefs(state, graph, axis_name, lmk_sharded)
 
 
 # ---------------------------------------------------------------------------
@@ -514,17 +524,17 @@ def diagnostics(
 
 def initialise(
     state: GBPState, graph: GBPGraph, cfg: GBPConfig,
-    axis_name: str | None = None,
+    axis_name: str | None = None, lmk_sharded: bool = False,
 ) -> GBPState:
     """WRITE + LINEARISE: beliefs <- priors, then linearise every factor
     (reference: ba/ba.cpp:982-987)."""
-    state = update_beliefs(state, graph, axis_name)
+    state = update_beliefs(state, graph, axis_name, lmk_sharded)
     return linearise_all(state, graph, cfg)
 
 
 def iteration(
     state: GBPState, graph: GBPGraph, cfg: GBPConfig, i: jax.Array,
-    axis_name: str | None = None,
+    axis_name: str | None = None, lmk_sharded: bool = False,
 ) -> GBPState:
     """One scheduled solver iteration: weaken priors on every 2nd iteration
     (flag-gated, so annealing self-terminates after `steps` applications;
@@ -552,7 +562,7 @@ def iteration(
         cam_weaken=state.cam_weaken - cam_live.astype(state.cam_weaken.dtype),
         lmk_weaken=state.lmk_weaken - lmk_live.astype(state.lmk_weaken.dtype),
     )
-    return gbp_sweep(state, graph, cfg, axis_name)
+    return gbp_sweep(state, graph, cfg, axis_name, lmk_sharded)
 
 
 def run_gbp(
@@ -563,6 +573,7 @@ def run_gbp(
     with_diagnostics: bool = True,
     iter_offset: jax.Array | int = 0,
     axis_name: str | None = None,
+    lmk_sharded: bool = False,
 ):
     """Run `n_iters` GBP iterations as one lax.scan on device.
 
@@ -572,7 +583,7 @@ def run_gbp(
     """
 
     def body(s, i):
-        s = iteration(s, graph, cfg, i + iter_offset, axis_name)
+        s = iteration(s, graph, cfg, i + iter_offset, axis_name, lmk_sharded)
         out = diagnostics(s, graph, cfg, axis_name) if with_diagnostics else None
         return s, out
 
@@ -585,8 +596,10 @@ def solve(
     cfg: GBPConfig,
     n_iters: int | None = None,
     axis_name: str | None = None,
+    lmk_sharded: bool = False,
 ):
     """Full batch-BA solve: initialise + scan. Jit-compatible end to end."""
     n = cfg.n_iters if n_iters is None else n_iters
-    state = initialise(problem_state, graph, cfg, axis_name)
-    return run_gbp(state, graph, cfg, n, axis_name=axis_name)
+    state = initialise(problem_state, graph, cfg, axis_name, lmk_sharded)
+    return run_gbp(state, graph, cfg, n, axis_name=axis_name,
+                   lmk_sharded=lmk_sharded)

@@ -143,3 +143,51 @@ def test_sharded_pallas_on_tpu():
     errs = np.asarray(diag.reproj_err)
     assert np.isfinite(errs).all()
     assert errs[-1] < errs[0]
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_map_sharded_converges_like_single(problem, n_devices):
+    """Map-partitioned mode (landmark blocks sharded, keyframes boundary):
+    same converged quality as the single-device solver."""
+    from gbp_poplar_tpu.parallel import make_map_sharded_solver
+    cfg = GBPConfig()
+    n_iters = 80
+    _, diag_s = _solve_single(problem, cfg, n_iters)
+    err_s = np.asarray(diag_s.reproj_err)
+
+    mesh = make_mesh(n_devices)
+    solver = make_map_sharded_solver(mesh, cfg)
+    graph, state = solver.prepare(build_graph(problem, cfg),
+                                  init_state(problem, cfg))
+    _, diag_p = solver.solve(state, graph, n_iters)
+    err_p = np.asarray(diag_p.reproj_err)
+    assert np.isfinite(err_p).all()
+    tail_s, tail_p = err_s[-10:].mean(), err_p[-10:].mean()
+    assert abs(tail_p - tail_s) < 0.05 * max(tail_s, 1e-3) + 5e-3
+
+
+def test_partition_by_landmark_bookkeeping(problem):
+    """Each shard owns a contiguous landmark block + exactly its edges."""
+    from gbp_poplar_tpu.parallel import partition_by_landmark
+    cfg = GBPConfig()
+    graph = build_graph(problem, cfg)
+    state = init_state(problem, cfg)
+    n = 4
+    g2, s2 = partition_by_landmark(graph, state, n)
+    l_blk = g2.n_points // n
+    assert g2.n_points % n == 0 and g2.n_edges % n == 0
+    e_blk = g2.n_edges // n
+    lmk_local = np.asarray(g2.lmk_idx)
+    active = np.asarray(s2.active)
+    # local landmark ids stay within the block; active edge count preserved
+    assert (lmk_local[active > 0] < l_blk).all()
+    assert active.sum() == np.asarray(state.active).sum()
+    # reconstruct global ids and compare edge multisets
+    shard_of = np.repeat(np.arange(n), e_blk)
+    glob = lmk_local + shard_of * l_blk
+    got = sorted(zip(np.asarray(g2.cam_idx)[active > 0],
+                     glob[active > 0]))
+    act0 = np.asarray(state.active) > 0
+    want = sorted(zip(np.asarray(graph.cam_idx)[act0],
+                      np.asarray(graph.lmk_idx)[act0]))
+    assert got == want
