@@ -39,6 +39,7 @@ def insert_keyframe(
     new_kf: jax.Array | int,
     av_depth: float = 1.0,
     axis_name: str | None = None,
+    lmk_sharded: bool = False,
 ) -> GBPState:
     """Activate keyframe `new_kf`'s edges and hand off priors.
 
@@ -109,7 +110,7 @@ def insert_keyframe(
 
     # Refresh beliefs with the new priors (NEW_KEYFRAME runs prog_ub,
     # slam.cpp:946-948), then linearise the just-activated factors at them.
-    state = gbp.update_beliefs(state, graph, axis_name)
+    state = gbp.update_beliefs(state, graph, axis_name, lmk_sharded)
     return _linearise_masked(state, graph, cfg, newly_active)
 
 

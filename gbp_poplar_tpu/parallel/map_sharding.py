@@ -150,6 +150,7 @@ class MapShardedSolver:
     solve: callable
     run: callable
     initialise: callable
+    insert_keyframe: callable   # (state, graph, new_kf, av_depth) -> state
 
     def prepare(self, graph: GBPGraph, state: GBPState):
         graph, state = partition_by_landmark(graph, state, self.mesh.size)
@@ -196,5 +197,17 @@ def make_map_sharded_solver(mesh: Mesh, cfg: GBPConfig) -> MapShardedSolver:
             out_specs=sspec, in_specs=(sspec, gspec))
         return f(state, graph)
 
+    @partial(jax.jit, static_argnums=3)
+    def insert_fn(state, graph, new_kf, av_depth=1.0):
+        from ..core import slam
+
+        f = smap(
+            lambda s, g, k: slam.insert_keyframe(
+                s, g, cfg, k, av_depth, axis_name=EDGE_AXIS,
+                lmk_sharded=True),
+            out_specs=sspec, in_specs=(sspec, gspec, rep))
+        return f(state, graph, jnp.asarray(new_kf, jnp.int32))
+
     return MapShardedSolver(mesh=mesh, cfg=cfg, solve=solve_fn,
-                            run=run_fn, initialise=init_fn)
+                            run=run_fn, initialise=init_fn,
+                            insert_keyframe=insert_fn)

@@ -191,3 +191,25 @@ def test_partition_by_landmark_bookkeeping(problem):
     want = sorted(zip(np.asarray(graph.cam_idx)[act0],
                       np.asarray(graph.lmk_idx)[act0]))
     assert got == want
+
+
+def test_map_sharded_slam(problem):
+    """Incremental keyframe insertion under the map-partitioned sharding."""
+    from gbp_poplar_tpu.parallel import make_map_sharded_solver
+    from gbp_poplar_tpu.utils import flags as flags_lib
+    cfg = GBPConfig()
+    graph = build_graph(problem, cfg)
+    flags = flags_lib.create_flags(problem, cfg.steps)
+    state = init_state(problem, cfg, flags=flags)
+    mesh = make_mesh(4)
+    solver = make_map_sharded_solver(mesh, cfg)
+    g2, st2 = solver.prepare(graph, state)
+    st2 = solver.initialise(st2, g2)
+    last = None
+    for k in range(1, problem.n_keyframes):
+        st2, diag = solver.run(st2, g2, 60, 0)
+        last = np.asarray(diag.reproj_err)
+        if k + 1 < problem.n_keyframes:
+            st2 = solver.insert_keyframe(st2, g2, k + 1, 6.0)
+    final = last[-10:].mean()
+    assert np.isfinite(final) and final < 1.5
