@@ -25,13 +25,18 @@ import numpy as np
 
 from gbp_poplar_tpu.config import GBPConfig
 from gbp_poplar_tpu.core import build_graph, init_state
-from gbp_poplar_tpu.parallel import make_mesh, make_sharded_solver
+from gbp_poplar_tpu.parallel import (
+    make_map_sharded_solver, make_mesh, make_sharded_solver,
+)
 from gbp_poplar_tpu.utils import balio
+
+MODE = os.environ.get("GBP_SHARD_MODE", "edges")   # edges | map
 
 
 def bench_n(problem, cfg, n_devices, n_sweeps):
     mesh = make_mesh(n_devices)
-    solver = make_sharded_solver(mesh, cfg)
+    solver = (make_map_sharded_solver(mesh, cfg) if MODE == "map"
+              else make_sharded_solver(mesh, cfg))
     graph, state = solver.prepare(build_graph(problem, cfg),
                                   init_state(problem, cfg))
     state = solver.initialise(state, graph)
@@ -57,7 +62,7 @@ def main():
     cfg = GBPConfig()
     n_avail = len(jax.devices())
     print(f"{name}: E={problem.n_edges}, devices available: {n_avail} "
-          f"({jax.devices()[0].platform})")
+          f"({jax.devices()[0].platform}), mode={MODE}")
     base = None
     n = 1
     while n <= n_avail:
