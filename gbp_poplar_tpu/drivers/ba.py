@@ -71,6 +71,7 @@ def main(argv=None) -> int:
         state = solver.initialise(state)
     chunk = max(1, args.print_every)
     i = start_iter
+    t_first_chunk = None
     while i < args.n_iters:
         n = min(chunk, args.n_iters - i)
         state, diag = solver.run(state, n, i)
@@ -78,6 +79,8 @@ def main(argv=None) -> int:
         costs = np.asarray(diag.cost)
         relins = np.asarray(diag.n_relins)
         robusts = np.asarray(diag.n_robust)
+        if t_first_chunk is None:
+            t_first_chunk = time.perf_counter()   # compile happened here
         for j in range(n):
             common.print_iteration(i + j, errs[j], costs[j],
                                    int(relins[j]), int(robusts[j]))
@@ -87,9 +90,14 @@ def main(argv=None) -> int:
             checkpoint.save_checkpoint(args.checkpoint, solver.unprep(state),
                                        graph, step=i, cfg=cfg)
     jax.block_until_ready(state.cam_eta)
-    dt = time.perf_counter() - t0
-    print(f"total {dt:.3f}s, {(args.n_iters - start_iter) / dt:.1f} sweeps/s",
-          file=sys.stderr)
+    t_end = time.perf_counter()
+    dt = t_end - t0
+    msg = f"total {dt:.3f}s ({(args.n_iters - start_iter) / dt:.1f} sweeps/s incl. compile"
+    steady_iters = args.n_iters - start_iter - chunk
+    if steady_iters > 0 and t_end > t_first_chunk:
+        msg += (f"; steady-state "
+                f"{steady_iters / (t_end - t_first_chunk):.1f} sweeps/s")
+    print(msg + ")", file=sys.stderr)
 
     if args.profile:
         jax.profiler.stop_trace()
