@@ -15,15 +15,28 @@ ensures the measured sweep is the real solver, not a degenerate fast path.
 """
 
 import json
+import os
 import sys
 import time
 
 BASELINE_SWEEPS_PER_SEC = 1000.0
 SEQ = "fr1xyz"
 N_SWEEPS = 300
+GUARD_ITERS = 500
+GUARD_PX = 3.0
 
 
 def main():
+    # test hook: a reduced workload exercises the full benchmark contract
+    # (load -> guarded solve -> timed sweeps -> one JSON line) in CI
+    seq = os.environ.get("GBP_BENCH_SEQ", SEQ)
+    n_sweeps = int(os.environ.get("GBP_BENCH_SWEEPS", N_SWEEPS))
+    guard_iters = int(os.environ.get("GBP_BENCH_GUARD_ITERS", GUARD_ITERS))
+    guard_px = float(os.environ.get("GBP_BENCH_GUARD_PX", GUARD_PX))
+
+    from gbp_poplar_tpu.drivers.common import maybe_force_platform
+    maybe_force_platform()
+
     import jax
     import numpy as np
 
@@ -32,16 +45,16 @@ def main():
     from gbp_poplar_tpu.utils import balio
 
     cfg = GBPConfig()
-    problem = balio.load_bal(SEQ)
+    problem = balio.load_bal(seq)
     graph = build_graph(problem, cfg)
     state0 = init_state(problem, cfg)
 
     # --- convergence guard (with diagnostics, separate compile) ---
-    guard = jax.jit(lambda s: gbp.solve(s, graph, cfg, n_iters=500))
+    guard = jax.jit(lambda s: gbp.solve(s, graph, cfg, n_iters=guard_iters))
     final, diag = guard(state0)
     jax.block_until_ready(final)
     err = float(np.asarray(diag.reproj_err)[-1])
-    if not (err < 3.0):
+    if not (err < guard_px):
         print(f"CONVERGENCE GUARD FAILED: err={err}", file=sys.stderr)
         sys.exit(1)
 
@@ -49,7 +62,7 @@ def main():
     @jax.jit
     def hot(state):
         st = gbp.initialise(state, graph, cfg)
-        st, _ = gbp.run_gbp(st, graph, cfg, N_SWEEPS, with_diagnostics=False)
+        st, _ = gbp.run_gbp(st, graph, cfg, n_sweeps, with_diagnostics=False)
         return st
 
     jax.block_until_ready(hot(state0))  # compile + warm
@@ -59,12 +72,12 @@ def main():
         jax.block_until_ready(hot(state0))
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    sweeps_per_sec = N_SWEEPS / dt
+    sweeps_per_sec = n_sweeps / dt
 
-    print(f"fr1xyz: {problem.n_edges} edges, err@500={err:.3f}px, "
-          f"{dt*1e3/N_SWEEPS:.3f} ms/sweep", file=sys.stderr)
+    print(f"{seq}: {problem.n_edges} edges, err@{guard_iters}={err:.3f}px, "
+          f"{dt*1e3/n_sweeps:.3f} ms/sweep", file=sys.stderr)
     print(json.dumps({
-        "metric": f"gbp_sweeps_per_sec_{SEQ}",
+        "metric": f"gbp_sweeps_per_sec_{seq}",
         "value": round(sweeps_per_sec, 2),
         "unit": "sweeps/s",
         "vs_baseline": round(sweeps_per_sec / BASELINE_SWEEPS_PER_SEC, 3),

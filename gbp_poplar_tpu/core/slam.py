@@ -153,6 +153,11 @@ def solve_slam(
     av_depth: float = 1.0,
     with_diagnostics: bool = True,
     progress=None,
+    start_kf: int = 1,
+    runner=None,
+    inserter=None,
+    initialiser=None,
+    segment_callback=None,
 ) -> SlamResult:
     """Full incremental solve.
 
@@ -162,38 +167,49 @@ def solve_slam(
     sequences jitted segments (compile once, reuse per keyframe), matching
     the reference's schedule niters = (n_kf-1)*iters_between_kfs - 1
     (slam.cpp:1013-1047) with insertion at segment boundaries.
+
+    ``runner(state) -> (state, diag)``, ``inserter(state, k) -> state`` and
+    ``initialiser(state) -> state`` override the default single-chip jitted
+    steps (used by the driver for map-sharded execution). ``start_kf > 1``
+    resumes at that segment — the state must already contain keyframe
+    `start_kf`'s insertion (checkpoints are written post-insertion) and
+    initialisation is skipped. ``segment_callback(k, state)`` fires after
+    segment k's insertion (or after the final segment) with the
+    checkpointable state.
     """
     n_kf = graph.n_keyframes if n_keyframes is None else n_keyframes
     ibk = cfg.iters_between_kfs if iters_between_kfs is None else iters_between_kfs
 
-    @jax.jit
-    def segment(s):
-        return gbp.run_gbp(s, graph, cfg, ibk,
-                           with_diagnostics=with_diagnostics)
+    if runner is None:
+        runner = jax.jit(lambda s: gbp.run_gbp(
+            s, graph, cfg, ibk, with_diagnostics=with_diagnostics))
+    if inserter is None:
+        inserter = jax.jit(
+            lambda s, k: insert_keyframe(s, graph, cfg, k, av_depth))
+    if initialiser is None:
+        initialiser = jax.jit(lambda s: gbp.initialise(s, graph, cfg))
 
-    @jax.jit
-    def insert(s, k):
-        return insert_keyframe(s, graph, cfg, k, av_depth)
-
-    state = jax.jit(
-        lambda s: gbp.initialise(s, graph, cfg))(state)
+    if start_kf <= 1:
+        state = initialiser(state)
 
     # Segment k (k = 1..n_kf-1) runs with keyframes 0..k active; keyframe
     # k+1 is inserted at the segment boundary, so the last segment refines
     # the fully-activated graph — (n_kf-1) segments total, matching the
     # reference's niters = (n_kf-1) * iters_between_kfs (slam.cpp:1013).
     errs, costs, relins, robusts = [], [], [], []
-    for k in range(1, n_kf):
-        state, diag = segment(state)
+    for k in range(max(1, start_kf), n_kf):
+        state, diag = runner(state)
         if with_diagnostics:
             errs.append(np.asarray(diag.reproj_err))
             costs.append(np.asarray(diag.cost))
             relins.append(np.asarray(diag.n_relins))
             robusts.append(np.asarray(diag.n_robust))
             if progress is not None:
-                progress(k, errs[-1])
+                progress(k, diag)
         if k + 1 < n_kf:
-            state = insert(state, k + 1)
+            state = inserter(state, k + 1)
+        if segment_callback is not None:
+            segment_callback(k, state)
 
     stack = (lambda xs: np.stack(xs) if xs else np.zeros((0, ibk)))
     return SlamResult(state=state, reproj_err=stack(errs), cost=stack(costs),

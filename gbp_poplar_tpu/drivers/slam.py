@@ -8,6 +8,15 @@ Keyframes activate one at a time; each new keyframe's prior is handed off
 from the previous keyframe's converged belief, newly observed landmarks
 start at --avdepth on the previous keyframe's optic axis (all on device,
 core/slam.py).
+
+Capabilities beyond the reference CLI (ba/slam.cpp:414-417):
+  --devices N        map-partitioned multi-chip execution (landmark blocks
+                     sharded, keyframes replicated; parallel/map_sharding.py)
+  --checkpoint/--checkpoint_every/--resume
+                     lossless segment-boundary checkpointing; checkpoints are
+                     written after each keyframe insertion so a resume
+                     continues with the next segment bit-exactly
+  --save_traj        TUM trajectory export
 """
 
 from __future__ import annotations
@@ -30,6 +39,73 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+class _SingleChipSlam:
+    """Default execution: plain jitted steps on one device."""
+
+    def __init__(self, graph, cfg, ibk, av_depth):
+        import jax
+
+        from ..core import gbp
+        self.initialiser = jax.jit(lambda s: gbp.initialise(s, graph, cfg))
+        self.runner = jax.jit(lambda s: gbp.run_gbp(s, graph, cfg, ibk))
+        self.inserter = jax.jit(
+            lambda s, k: slam.insert_keyframe(s, graph, cfg, k, av_depth))
+        self.graph = graph
+
+    def prep(self, state):
+        return state
+
+    def checkpointable(self, state):
+        return state
+
+
+class _MapShardedSlam:
+    """Map-partitioned execution over a device mesh (landmark blocks local,
+    keyframe boundary psum; parallel/map_sharding.py)."""
+
+    def __init__(self, graph, cfg, ibk, av_depth, n_devices):
+        import jax
+        from jax.sharding import NamedSharding
+
+        from ..parallel import make_map_sharded_solver, make_mesh
+        from ..parallel.map_sharding import map_graph_specs, map_state_specs
+        self._solver = make_map_sharded_solver(make_mesh(n_devices), cfg)
+        self._graph_raw = graph
+        self._ibk = ibk
+        self._av_depth = av_depth
+        self._mesh = self._solver.mesh
+        self._gspec = jax.tree.map(
+            lambda s: NamedSharding(self._mesh, s), map_graph_specs())
+        self._sspec = jax.tree.map(
+            lambda s: NamedSharding(self._mesh, s), map_state_specs())
+        self.graph = None
+
+    def prep(self, state, partitioned: bool = False):
+        import jax
+
+        if partitioned:
+            # resume path: state/graph already in block-local layout
+            graph = self._graph_raw
+            graph = jax.tree.map(
+                lambda x, sh: None if x is None else jax.device_put(x, sh),
+                graph, self._gspec,
+                is_leaf=lambda x: x is None)
+            state = jax.tree.map(jax.device_put, state, self._sspec)
+        else:
+            graph, state = self._solver.prepare(self._graph_raw, state)
+        self.graph = graph
+        self.initialiser = lambda s: self._solver.initialise(s, graph)
+        self.runner = lambda s: self._solver.run(s, graph, self._ibk)
+        self.inserter = lambda s, k: self._solver.insert_keyframe(
+            s, graph, k, self._av_depth)
+        return state
+
+    def checkpointable(self, state):
+        import jax
+
+        return jax.device_get(state)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     common.maybe_force_platform()
@@ -43,37 +119,88 @@ def main(argv=None) -> int:
     problem = balio.load_bal(args.bal_file)
     problem = priors.apply_init_noise(problem, init_cfg,
                                       k_anchor=cfg.num_anchor_cams)
+    ibk = args.iters_between_kfs
     print(f"{args.bal_file}: {problem.n_keyframes} keyframes, "
           f"{problem.n_points} landmarks, {problem.n_edges} edges "
-          f"({args.iters_between_kfs} iters/keyframe)", file=sys.stderr)
+          f"({ibk} iters/keyframe)", file=sys.stderr)
 
     graph = build_graph(problem, cfg)
-    flags = flags_lib.create_flags(problem, cfg.steps)
-    state = init_state(problem, cfg, flags=flags)
+    state = None
+    start_kf = 1
+    resumed_partitioned = False
+    if args.resume:
+        state, g2, meta = checkpoint.load_checkpoint(args.resume)
+        ck_devices = meta.get("devices", 1)
+        if ck_devices != args.devices:
+            print(f"error: checkpoint was written with --devices "
+                  f"{ck_devices}, run has --devices {args.devices}",
+                  file=sys.stderr)
+            return 2
+        if g2 is not None:
+            graph = g2
+        resumed_partitioned = ck_devices > 1
+        start_kf = meta.get("kf", meta.get("step", 0) // ibk + 1)
+        print(f"resumed from {args.resume} at keyframe {start_kf}",
+              file=sys.stderr)
+    else:
+        flags = flags_lib.create_flags(problem, cfg.steps)
+        state = init_state(problem, cfg, flags=flags)
 
-    step = {"i": 0}
+    if args.devices > 1:
+        solver = _MapShardedSlam(graph, cfg, ibk, args.avdepth, args.devices)
+        state = solver.prep(state, partitioned=resumed_partitioned)
+    else:
+        solver = _SingleChipSlam(graph, cfg, ibk, args.avdepth)
 
-    def progress(k, errs):
-        n = errs.shape[0]
+    step = {"i": (start_kf - 1) * ibk, "since_save": 0}
+
+    def progress(k, diag):
+        errs = np.asarray(diag.reproj_err)
+        costs = np.asarray(diag.cost)
+        relins = np.asarray(diag.n_relins)
+        robusts = np.asarray(diag.n_robust)
         stride = max(1, args.print_every)
-        for j in range(0, n, stride):
-            common.print_iteration(step["i"] + j, errs[j], float("nan"), 0, 0)
-        step["i"] += n
+        for j in range(0, errs.shape[0], stride):
+            common.print_iteration(step["i"] + j, errs[j], costs[j],
+                                   int(relins[j]), int(robusts[j]))
+        step["i"] += errs.shape[0]
         if k + 1 < problem.n_keyframes:
             print(f"-- keyframe {k + 1} inserted --", file=sys.stderr)
+
+    def save(path, st, k):
+        checkpoint.save_checkpoint(
+            path, solver.checkpointable(st), solver.graph, step=k * ibk,
+            cfg=cfg)
+        # segment-level metadata: the state includes keyframe k+1's insertion
+        _amend_meta(path, kf=k + 1, devices=args.devices)
+
+    def segment_callback(k, st):
+        if not (args.checkpoint and args.checkpoint_every):
+            return
+        step["since_save"] += ibk
+        if step["since_save"] >= args.checkpoint_every:
+            step["since_save"] = 0
+            save(args.checkpoint, st, k)
 
     t0 = time.perf_counter()
     result = slam.solve_slam(
         state, graph, cfg,
-        iters_between_kfs=args.iters_between_kfs,
+        n_keyframes=problem.n_keyframes,
+        iters_between_kfs=ibk,
         av_depth=args.avdepth,
-        progress=progress)
+        progress=progress,
+        start_kf=start_kf,
+        runner=solver.runner,
+        inserter=solver.inserter,
+        initialiser=solver.initialiser,
+        segment_callback=segment_callback)
     dt = time.perf_counter() - t0
-    total_iters = (problem.n_keyframes - 1) * args.iters_between_kfs
+    total_iters = (problem.n_keyframes - start_kf) * ibk
     print(f"total {dt:.3f}s, {total_iters / dt:.1f} sweeps/s",
           file=sys.stderr)
 
-    cam_mu, lmk_mu = analysis.belief_means(result.state)
+    final_state = solver.checkpointable(result.state)
+    cam_mu, lmk_mu = analysis.belief_means(final_state)
     if args.v:
         np.set_printoptions(precision=5, suppress=True)
         print("cam means:\n", cam_mu)
@@ -81,12 +208,29 @@ def main(argv=None) -> int:
         evaluation.export_tum(args.save_traj, cam_mu)
         print(f"trajectory written to {args.save_traj}", file=sys.stderr)
     if args.checkpoint:
-        checkpoint.save_checkpoint(args.checkpoint, result.state, graph,
-                                   step=total_iters, cfg=cfg)
+        save(args.checkpoint, result.state, problem.n_keyframes - 1)
         print(f"checkpoint written to {args.checkpoint}", file=sys.stderr)
-    final_err = result.reproj_err[-1, -10:].mean()
-    print(f"final reprojection error: {final_err:.5f} px", file=sys.stderr)
+    if result.reproj_err.shape[0]:
+        final_err = result.reproj_err[-1, -10:].mean()
+        print(f"final reprojection error: {final_err:.5f} px",
+              file=sys.stderr)
     return 0
+
+
+def _amend_meta(path: str, **extra) -> None:
+    """Add driver-level keys to a checkpoint's metadata."""
+    import json
+
+    data = dict(np.load(path))
+    meta = json.loads(bytes(data[checkpoint._META_KEY]).decode())
+    meta.update(extra)
+    data[checkpoint._META_KEY] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    tmp = path + ".tmp"
+    np.savez(tmp, **data)
+    import os
+
+    os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
 
 
 if __name__ == "__main__":

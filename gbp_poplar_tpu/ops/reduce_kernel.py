@@ -139,9 +139,13 @@ def _reduce_kernel(w: int, base_ref, idx_ref, planes_ref, out_ref):
 
 
 def blocked_reduce(
-    planes: jax.Array, idx: jax.Array, bidx: BlockedIndex, n_var: int
+    planes: jax.Array, idx: jax.Array, bidx: BlockedIndex, n_var: int,
+    interpret: bool = False,
 ) -> jax.Array:
-    """Sum `planes` [comp, E] per variable -> [comp, n_var]."""
+    """Sum `planes` [comp, E] per variable -> [comp, n_var].
+
+    ``interpret`` runs the kernel through the Pallas interpreter (CPU CI
+    parity tests; never set on TPU)."""
     comp, e = planes.shape
     be = bidx.block_edges
     n_blocks = -(-e // be)
@@ -168,6 +172,7 @@ def blocked_reduce(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, comp, bidx.w),
                                        jnp.float32),
+        interpret=interpret,
     )(bidx.base, idx[None], planes)
 
     if bidx.combine_ids is None:
@@ -219,7 +224,8 @@ def _gather_kernel(w: int, comp: int, base_ref, idx_ref, src_ref, out_ref):
 
 
 def blocked_gather(
-    src: jax.Array, idx: jax.Array, bidx: BlockedIndex
+    src: jax.Array, idx: jax.Array, bidx: BlockedIndex,
+    interpret: bool = False,
 ) -> jax.Array:
     """Gather `src` [comp, V] columns by idx [E] -> [comp, E]."""
     comp, n_var = src.shape
@@ -251,5 +257,6 @@ def blocked_gather(
         functools.partial(_gather_kernel, bidx.w, comp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((comp, n_blocks * be), src.dtype),
+        interpret=interpret,
     )(bidx.base, idx[None], src_pad)
     return out[:, :e] if pad else out

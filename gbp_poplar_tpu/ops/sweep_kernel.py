@@ -62,13 +62,15 @@ def _kernel(cfg: GBPConfig, sub: int, k_ref, *refs):
         r[...] = o.astype(r.dtype)
 
 
-def sweep_edge_math_pallas(inputs: tuple, k: jax.Array, cfg: GBPConfig):
+def sweep_edge_math_pallas(inputs: tuple, k: jax.Array, cfg: GBPConfig,
+                           interpret: bool = False):
     """Run core.gbp.edge_math as one blocked Pallas kernel over the edges.
 
     ``inputs`` is the tuple named by core.gbp.EDGE_MATH_INPUTS (plane
     arrays, edge axis trailing); ``k`` the [3,3] intrinsics. Returns the
     EDGE_MATH_OUTPUTS tuple with the original edge extent (per-edge scalar
-    rows shaped (1, E), matching edge_math's convention).
+    rows shaped (1, E), matching edge_math's convention). ``interpret``
+    runs the kernel through the Pallas interpreter (CPU CI parity).
     """
     e = inputs[0].shape[-1]
     sub = 8
@@ -124,6 +126,7 @@ def sweep_edge_math_pallas(inputs: tuple, k: jax.Array, cfg: GBPConfig):
         out_specs=[spec(s.shape) for s in out_shapes],
         out_shape=out_shapes,
         cost_estimate=cost,
+        interpret=interpret,
     )(k, *prepped)
 
     outs = list(outs)

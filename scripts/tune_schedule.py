@@ -1,8 +1,19 @@
-"""Sweep solver-schedule variants on a sequence and report convergence.
+"""Sweep solver-schedule variants on TUM sequences and report convergence.
 
-Usage: python scripts/tune_schedule.py [sequence] [n_iters]
+One parameterised harness (replaces the round-1 tune_schedule{,2,3}.py
+experiment scripts):
+
+    python scripts/tune_schedule.py --seq fr1desk --n_iters 1000 \
+        --set reference \
+        --set gn:relin_every_iter=1,lambda_damping=1,eta_damping=0.7 \
+        --set drift:relin_drift_threshold=0.05
+
+Each --set is ``name[:key=val,key=val...]`` of GBPConfig overrides (ints,
+floats and 0/1 bools are parsed; everything else stays a string).
 """
 
+import argparse
+import dataclasses
 import os
 import sys
 import time
@@ -13,40 +24,62 @@ import jax
 import numpy as np
 
 from gbp_poplar_tpu.config import GBPConfig
-from gbp_poplar_tpu.core import build_graph, init_state, gbp
+from gbp_poplar_tpu.core import build_graph, gbp, init_state
 from gbp_poplar_tpu.utils import balio
 
-seq = sys.argv[1] if len(sys.argv) > 1 else "fr2robot2"
-n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 400
 
-prob = balio.load_bal(seq)
-print(f"{seq}: {prob.n_keyframes} kf / {prob.n_points} lmk / {prob.n_edges} edges")
+def parse_variant(spec: str) -> tuple[str, GBPConfig]:
+    name, _, kvs = spec.partition(":")
+    fields = {f.name: f.type for f in dataclasses.fields(GBPConfig)}
+    overrides = {}
+    for kv in filter(None, kvs.split(",")):
+        k, _, v = kv.partition("=")
+        if k not in fields:
+            raise SystemExit(f"unknown GBPConfig field: {k}")
+        cur = getattr(GBPConfig(), k)
+        if isinstance(cur, bool):
+            overrides[k] = v not in ("0", "false", "False")
+        elif isinstance(cur, int):
+            overrides[k] = int(v)
+        elif isinstance(cur, float):
+            overrides[k] = float(v)
+        else:
+            overrides[k] = v
+    return name, GBPConfig(**overrides)
 
-VARIANTS = {
-    "reference": GBPConfig(),
-    "damp-both": GBPConfig(lambda_damping=True),
-    "damp-both-noreset": GBPConfig(lambda_damping=True, reset_damping_on_relin=False),
-    "damp-both-drift0.1": GBPConfig(
-        lambda_damping=True, reset_damping_on_relin=False, relin_drift_threshold=0.1),
-    "damp-both-drift0.02": GBPConfig(
-        lambda_damping=True, reset_damping_on_relin=False, relin_drift_threshold=0.02),
-    "ref-drift0.1": GBPConfig(relin_drift_threshold=0.1),
-}
 
-for name, cfg in VARIANTS.items():
-    graph = build_graph(prob, cfg)
-    state = init_state(prob, cfg)
-    run = jax.jit(lambda s, g=graph, c=cfg: gbp.solve(s, g, c, n_iters=n_iters))
-    t0 = time.time()
-    final, diag = run(state)
-    jax.block_until_ready(final)
-    dt = time.time() - t0
-    errs = np.asarray(diag.reproj_err)
-    idx = [9, 20, 30, 50, 100, 200, n_iters - 1]
-    idx = [i for i in idx if i < n_iters]
-    print(
-        f"{name:22s} t={dt:6.1f}s  "
-        + "  ".join(f"e[{i}]={errs[i]:.3f}" for i in idx)
-        + f"  min={np.nanmin(errs):.3f}",
-        flush=True,
-    )
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--seq", action="append", default=None)
+    p.add_argument("--n_iters", type=int, default=1000)
+    p.add_argument("--set", dest="variants", action="append", default=None,
+                   metavar="NAME[:k=v,...]")
+    args = p.parse_args()
+    seqs = args.seq or ["fr2robot2", "fr1xyz", "fr1desk"]
+    variants = [parse_variant(s) for s in (args.variants or ["reference"])]
+    n_iters = args.n_iters
+
+    for seq in seqs:
+        prob = balio.load_bal(seq)
+        print(f"{seq}: {prob.n_keyframes} kf / {prob.n_points} lmk / "
+              f"{prob.n_edges} edges", flush=True)
+        for name, cfg in variants:
+            graph = build_graph(prob, cfg)
+            state = init_state(prob, cfg)
+            run = jax.jit(
+                lambda s, g=graph, c=cfg: gbp.solve(s, g, c, n_iters=n_iters))
+            t0 = time.time()
+            final, diag = run(state)
+            jax.block_until_ready(final)
+            dt = time.time() - t0
+            errs = np.asarray(diag.reproj_err)
+            idx = [i for i in (9, 50, 100, 200, 500, n_iters - 1)
+                   if i < n_iters]
+            print(f"  {name:28s} t={dt:6.1f}s  "
+                  + "  ".join(f"e[{i}]={errs[i]:.3f}" for i in idx)
+                  + f"  min={np.nanmin(errs):.3f}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

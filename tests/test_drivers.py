@@ -78,10 +78,62 @@ def test_slam_cli_end_to_end(tiny_bal):
     assert r.stderr.count("inserted") == 3   # keyframes 2..4
 
 
-def test_bench_emits_json():
-    """bench.py contract: last stdout line is one JSON object (run with a
-    reduced workload via env to keep the test fast? bench has no knobs —
-    parse-check the script's output format instead using a dry import)."""
-    import bench
-    assert bench.BASELINE_SWEEPS_PER_SEC > 0
-    assert bench.SEQ and bench.N_SWEEPS > 0
+def test_slam_cli_resume(tiny_bal, tmp_path):
+    ckpt = str(tmp_path / "s.npz")
+    traj1 = str(tmp_path / "t1.txt")
+    r1 = _run("gbp_poplar_tpu.drivers.slam",
+              "--bal_file", tiny_bal, "--iters_between_kfs", "30",
+              "--print_every", "30", "--avdepth", "6.0",
+              "--checkpoint", ckpt, "--save_traj", traj1)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    # resume from the final checkpoint: state round-trips losslessly, so the
+    # exported trajectory is identical (no further segments run)
+    traj2 = str(tmp_path / "t2.txt")
+    r2 = _run("gbp_poplar_tpu.drivers.slam",
+              "--bal_file", tiny_bal, "--iters_between_kfs", "30",
+              "--resume", ckpt, "--save_traj", traj2)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed from" in r2.stderr
+    np.testing.assert_allclose(np.loadtxt(traj2), np.loadtxt(traj1),
+                               rtol=0, atol=0)
+    # a mismatched --devices must be rejected, not silently ignored
+    r3 = _run("gbp_poplar_tpu.drivers.slam",
+              "--bal_file", tiny_bal, "--iters_between_kfs", "30",
+              "--resume", ckpt, "--devices", "2")
+    assert r3.returncode == 2
+
+
+def test_slam_cli_sharded(tiny_bal, tmp_path):
+    ckpt = str(tmp_path / "shard.npz")
+    r = _run("gbp_poplar_tpu.drivers.slam",
+             "--bal_file", tiny_bal, "--iters_between_kfs", "30",
+             "--print_every", "30", "--avdepth", "6.0",
+             "--devices", "2", "--checkpoint", ckpt,
+             "--checkpoint_every", "30")
+    assert r.returncode == 0, r.stderr[-2000:]
+    final = float(r.stderr.split("final reprojection error:")[1].split("px")[0])
+    assert final < 2.0
+    assert os.path.exists(ckpt)
+    # telemetry lines carry real cost/relins (not the round-1 NaN stubs)
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("iter")]
+    assert lines and all("nan" not in ln.lower() for ln in lines)
+    # sharded checkpoint resumes (same --devices) and matches
+    r2 = _run("gbp_poplar_tpu.drivers.slam",
+              "--bal_file", tiny_bal, "--iters_between_kfs", "30",
+              "--resume", ckpt, "--devices", "2")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed from" in r2.stderr
+
+
+def test_bench_emits_json(tiny_bal):
+    """bench.py contract: runs end-to-end (reduced workload via env) and the
+    last stdout line is ONE JSON object with the agreed keys."""
+    env = dict(_ENV, GBP_PLATFORM="cpu", GBP_BENCH_SEQ=tiny_bal,
+               GBP_BENCH_SWEEPS="20", GBP_BENCH_GUARD_ITERS="80",
+               GBP_BENCH_GUARD_PX="3.0")
+    r = subprocess.run([sys.executable, "bench.py"], capture_output=True,
+                       text=True, env=env, cwd=_REPO, timeout=240)
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = json.loads(r.stdout.strip().splitlines()[-1])
+    assert set(data) == {"metric", "value", "unit", "vs_baseline"}
+    assert data["value"] > 0 and data["unit"] == "sweeps/s"

@@ -1,5 +1,8 @@
-"""Blocked one-hot reduction: index-builder logic (NumPy) + kernel parity
-(TPU only — the kernels are gated to large problems and real hardware)."""
+"""Blocked one-hot reduction: index-builder logic (NumPy) + kernel parity.
+
+Kernel math runs every CI pass: on TPU natively, elsewhere through the
+Pallas interpreter (`interpret=True`) — a kernel regression surfaces in the
+CPU suite, not only on hardware rounds."""
 
 import jax
 import jax.numpy as jnp
@@ -8,7 +11,8 @@ import pytest
 
 from gbp_poplar_tpu.ops import reduce_kernel as rk
 
-on_tpu = jax.default_backend() == "tpu"
+# run kernels natively on TPU, interpreted elsewhere
+INTERP = jax.default_backend() != "tpu"
 
 
 def _oracle(planes, idx, n_var):
@@ -35,7 +39,6 @@ def test_build_blocked_index_rejects_shuffled():
     assert rk.build_blocked_index(idx, 5000, block_edges=512) is None
 
 
-@pytest.mark.skipif(not on_tpu, reason="Pallas TPU kernel")
 def test_blocked_reduce_matches_segment_sum():
     rng = np.random.default_rng(1)
     n_var, deg = 4000, 7
@@ -49,12 +52,12 @@ def test_blocked_reduce_matches_segment_sum():
                                n_edges_padded=e_pad)
     assert b is not None
     got = np.asarray(rk.blocked_reduce(
-        jnp.asarray(planes), jnp.asarray(idx_pad), b, n_var))
+        jnp.asarray(planes), jnp.asarray(idx_pad), b, n_var,
+        interpret=INTERP))
     ref = _oracle(planes[:, :e], idx, n_var)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 
-@pytest.mark.skipif(not on_tpu, reason="Pallas TPU kernel")
 def test_blocked_reduce_structured_combine_path():
     """Uniform density triggers the scatter-free stride combine."""
     rng = np.random.default_rng(2)
@@ -66,12 +69,12 @@ def test_blocked_reduce_structured_combine_path():
     assert b is not None and b.combine_ids is None and b.k >= 1
     planes = rng.normal(0, 1, (3, e)).astype(np.float32)
     got = np.asarray(rk.blocked_reduce(
-        jnp.asarray(planes), jnp.asarray(idx.astype(np.int32)), b, n_var))
+        jnp.asarray(planes), jnp.asarray(idx.astype(np.int32)), b, n_var,
+        interpret=INTERP))
     ref = _oracle(planes, idx, n_var)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 
-@pytest.mark.skipif(not on_tpu, reason="Pallas TPU kernel")
 def test_blocked_gather_matches_take():
     rng = np.random.default_rng(3)
     n_var, deg = 3000, 7
@@ -82,6 +85,6 @@ def test_blocked_gather_matches_take():
     b = rk.build_blocked_index(idx, n_var, block_edges=1024,
                                n_edges_padded=e_pad)
     src = jnp.asarray(rng.normal(0, 1, (9, n_var)).astype(np.float32))
-    got = np.asarray(rk.blocked_gather(src, jnp.asarray(idx_pad), b))
+    got = np.asarray(rk.blocked_gather(src, jnp.asarray(idx_pad), b, interpret=INTERP))
     ref = np.asarray(jnp.take(src, jnp.asarray(idx), axis=1))
     np.testing.assert_array_equal(got[:, :e], ref)

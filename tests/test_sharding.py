@@ -128,13 +128,13 @@ def test_sharded_sweep_and_init(problem):
 
 def test_sharded_pallas_on_tpu():
     """The Pallas sweep kernel must compile and converge inside shard_map
-    (the multi-chip execution path on real hardware)."""
-    if jax.default_backend() != "tpu":
-        pytest.skip("needs the Pallas TPU kernel")
+    (the multi-chip execution path; interpreted off-TPU so CI covers it)."""
     from gbp_poplar_tpu.utils import balio
     prob = balio.synthetic_problem(n_keyframes=6, n_points=60, seed=0,
                                    pixel_noise=0.5)
-    cfg = GBPConfig(use_pallas=True)
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = GBPConfig(use_pallas=True if on_tpu else "interpret",
+                    edge_pad_multiple=256, pallas_block_edges=256)
     mesh = make_mesh(1)
     solver = make_sharded_solver(mesh, cfg)
     graph, state = solver.prepare(build_graph(prob, cfg),
