@@ -64,20 +64,44 @@ class GBPConfig:
     n_iters: int = 1500                # (ba.cpp:406-408)
     iters_between_kfs: int = 700       # SLAM only (slam.cpp:414-417)
 
+    # --- fixed-point acceleration (not in the reference) ---
+    # After annealing, the dominant convergence error is a near-gauge drift
+    # of the whole map toward the weak prior means; message passing relaxes
+    # it at a per-sweep contraction rate of 1-eps (hundreds of sweeps per
+    # decade). Every `accel_every` sweeps the eta state (belief + message
+    # etas) is Aitken-extrapolated along its recent displacement with gain
+    # r/(1-r), r the measured contraction of successive displacement vectors.
+    # The correction is proportional to the displacement, so the GBP fixed
+    # point is unchanged — at convergence the extrapolation vanishes.
+    # <= 0 disables (exact reference schedule dynamics).
+    accel_every: int = 50
+    # First iteration eligible for extrapolation (lets annealing + the first
+    # relinearisation waves settle; SLAM segments restart this per segment).
+    accel_start: int = 150
+    # Clip on the estimated contraction rate (bounds the gain at
+    # rate/(1-rate); 0.98 -> max gain 49).
+    accel_max_rate: float = 0.98
+    # Trust region: the extrapolation jump is scaled down so no camera mean
+    # moves more than this (metres).
+    accel_max_step: float = 0.5
+
     # --- robustness guards (not in the reference, which relies on IPU FP
     # traps to abort instead; ba/ba.cpp:888) ---
     # Tikhonov jitter added to the cavity precision before inversion,
     # relative to its mean diagonal. 0 disables.
     cavity_jitter: float = 1e-6
-    # Factors are not relinearised while the landmark sits closer than this
-    # to (or behind) the camera plane at the linearisation point; their
-    # previous potential is kept. <= 0 disables.
-    min_depth: float = 0.05
+    # Factors are not relinearised while the landmark sits within this
+    # distance of the camera plane (|z| < min_depth, either side) at the
+    # candidate linearisation point — the projection Jacobian is singular at
+    # z = 0. Behind-camera points DO relinearise (Huber makes those factors
+    # weak; a one-sided guard deadlocks runaway landmarks). <= 0 disables.
+    min_depth: float = 0.01
 
     # --- execution ---
     # Fuse the per-edge sweep body into one Pallas TPU kernel ("auto" =
     # only when running on TPU; the pure-XLA path is the fallback and the
-    # correctness oracle on CPU).
+    # correctness oracle on CPU; "interpret" = run the kernel through the
+    # Pallas interpreter on any backend — CI coverage of the kernel path).
     use_pallas: bool | str = "auto"
     # Edge-block size for the Pallas kernel (lanes; multiple of 128).
     # 1024 measured best at both TUM scale (0.30 vs 0.34 ms/sweep) and

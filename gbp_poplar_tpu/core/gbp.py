@@ -168,6 +168,25 @@ def recenter_priors(
 # prior annealing (reference: gbp_codelets.cpp:176-197 + ba/ba.cpp:1003-1006)
 # ---------------------------------------------------------------------------
 
+def _anneal_priors(
+    state: GBPState, graph: GBPGraph,
+    cam_live: jax.Array, lmk_live: jax.Array,
+) -> GBPState:
+    """Scale priors by the per-variable annealing factor where `*_live`,
+    decrementing the weaken flags there (masked dense compute; the masks are
+    already flag-gated by the callers)."""
+    cs = jnp.where(cam_live, graph.cam_scaling, 1.0)[None, :]
+    ls = jnp.where(lmk_live, graph.lmk_scaling, 1.0)[None, :]
+    return state._replace(
+        cam_prior_eta=state.cam_prior_eta * cs,
+        cam_prior_lam=state.cam_prior_lam * cs,
+        lmk_prior_eta=state.lmk_prior_eta * ls,
+        lmk_prior_lam=state.lmk_prior_lam * ls,
+        cam_weaken=state.cam_weaken - cam_live.astype(state.cam_weaken.dtype),
+        lmk_weaken=state.lmk_weaken - lmk_live.astype(state.lmk_weaken.dtype),
+    )
+
+
 def weaken_priors(
     state: GBPState, graph: GBPGraph, axis_name: str | None = None,
     lmk_sharded: bool = False,
@@ -176,18 +195,8 @@ def weaken_priors(
     flag is live, decrementing the flag; then refresh beliefs."""
     # The reference hardcodes flag in {1..5} (gbp_codelets.cpp:185); flags are
     # only ever set to `steps` and decremented, so `> 0` is the exact intent.
-    cam_live = state.cam_weaken > 0
-    lmk_live = state.lmk_weaken > 0
-    cs = jnp.where(cam_live, graph.cam_scaling, 1.0)[None, :]
-    ls = jnp.where(lmk_live, graph.lmk_scaling, 1.0)[None, :]
-    state = state._replace(
-        cam_prior_eta=state.cam_prior_eta * cs,
-        cam_prior_lam=state.cam_prior_lam * cs,
-        lmk_prior_eta=state.lmk_prior_eta * ls,
-        lmk_prior_lam=state.lmk_prior_lam * ls,
-        cam_weaken=state.cam_weaken - cam_live.astype(state.cam_weaken.dtype),
-        lmk_weaken=state.lmk_weaken - lmk_live.astype(state.lmk_weaken.dtype),
-    )
+    state = _anneal_priors(state, graph,
+                           state.cam_weaken > 0, state.lmk_weaken > 0)
     return update_beliefs(state, graph, axis_name, lmk_sharded)
 
 
@@ -306,11 +315,17 @@ def edge_math(
                 & (damping_count > cfg.relin_count_threshold)
             )
     if cfg.min_depth > 0.0:
-        # Never adopt a linearisation with the landmark at/behind the camera
-        # plane — the projection Jacobians blow up as z -> 0.
+        # Never adopt a linearisation with the landmark ON the camera plane —
+        # the projection Jacobians blow up as z -> 0. The guard is on |z|,
+        # NOT z > eps: a landmark that wanders behind the camera must keep
+        # relinearising (Huber inflates the variance with the huge residual,
+        # so the factor goes weak and the landmark's other edges pull it back
+        # in front — the reference's behaviour, gbp_codelets.cpp:137-141).
+        # A one-sided guard deadlocks: the stale potential pins the landmark
+        # behind the camera and the edge's residual grows without bound.
         mu_rows = pl.unpack_vec(mu, 9)
         y_cf, _ = pl.w2c_apply(mu_rows[:6], mu_rows[6:])
-        relin = relin & (y_cf[2] > cfg.min_depth)
+        relin = relin & (jnp.abs(y_cf[2]) > cfg.min_depth)
 
     f_eta_c = jnp.where(pl.row_mask(relin, 6), pot_eta_c, f_eta_c0)
     f_eta_l = jnp.where(pl.row_mask(relin, 3), pot_eta_l, f_eta_l0)
@@ -416,7 +431,7 @@ def edge_math(
 def _use_pallas(cfg: GBPConfig) -> bool:
     if cfg.use_pallas == "auto":
         return jax.default_backend() == "tpu"
-    return bool(cfg.use_pallas)
+    return bool(cfg.use_pallas)  # True, False, or "interpret" (CPU CI)
 
 
 def gbp_sweep(
@@ -440,7 +455,8 @@ def gbp_sweep(
 
     if _use_pallas(cfg):
         from ..ops.sweep_kernel import sweep_edge_math_pallas
-        outs = sweep_edge_math_pallas(inputs, graph.k, cfg)
+        outs = sweep_edge_math_pallas(inputs, graph.k, cfg,
+                                      interpret=cfg.use_pallas == "interpret")
     else:
         outs = edge_math(*inputs, graph.k, cfg)
 
@@ -550,19 +566,162 @@ def iteration(
     belief update applies the new priors immediately after.
     """
     do_weaken = (i + 1) % 2 == 0
-    cam_live = do_weaken & (state.cam_weaken > 0)
-    lmk_live = do_weaken & (state.lmk_weaken > 0)
-    cs = jnp.where(cam_live, graph.cam_scaling, 1.0)[None, :]
-    ls = jnp.where(lmk_live, graph.lmk_scaling, 1.0)[None, :]
-    state = state._replace(
-        cam_prior_eta=state.cam_prior_eta * cs,
-        cam_prior_lam=state.cam_prior_lam * cs,
-        lmk_prior_eta=state.lmk_prior_eta * ls,
-        lmk_prior_lam=state.lmk_prior_lam * ls,
-        cam_weaken=state.cam_weaken - cam_live.astype(state.cam_weaken.dtype),
-        lmk_weaken=state.lmk_weaken - lmk_live.astype(state.lmk_weaken.dtype),
-    )
+    state = _anneal_priors(state, graph,
+                           do_weaken & (state.cam_weaken > 0),
+                           do_weaken & (state.lmk_weaken > 0))
     return gbp_sweep(state, graph, cfg, axis_name, lmk_sharded)
+
+
+def map_cost(
+    state: GBPState, graph: GBPGraph, cfg: GBPConfig,
+    axis_name: str | None = None, lmk_sharded: bool = False,
+) -> jax.Array:
+    """The MAP objective at the current belief means: sum of Huber losses
+    (whitened) over active edges + the Gaussian prior quadratic (up to the
+    prior mean's constant, which cancels in comparisons).
+
+    Mirrors the Gauss-Newton baseline's objective (core/gauss_newton.py),
+    evaluated on the GBP state entirely on device.
+    """
+    cam_mu, lmk_mu = _variable_means(state)
+    mu_c = jnp.take(cam_mu, graph.cam_idx, axis=1)
+    mu_l = jnp.take(lmk_mu, graph.lmk_idx, axis=1)
+    (u, v), _, _ = pl.project(pl.unpack_vec(mu_c, 6), pl.unpack_vec(mu_l, 3),
+                              graph.k)
+    ru = graph.meas[0] - u
+    rv = graph.meas[1] - v
+    err2 = (ru * ru + rv * rv) / graph.meas_var
+    err = jnp.sqrt(err2)
+    k = cfg.huber_nstds
+    loss = jnp.where(err > k, k * err - 0.5 * k * k, 0.5 * err2)
+    ok = (state.active > 0)[None] & jnp.isfinite(loss)
+    robust = jnp.sum(jnp.where(ok, loss, 0.0))
+
+    def quad(lam_planes, eta_planes, mu_planes, d):
+        lam = pl.unpack_sym(lam_planes, d)
+        mu_rows = pl.unpack_vec(mu_planes, d)
+        eta_rows = pl.unpack_vec(eta_planes, d)
+        lam_mu = pl.matvec(lam, mu_rows)
+        val = 0.5 * pl.vdot(mu_rows, lam_mu) - pl.vdot(eta_rows, mu_rows)
+        return jnp.sum(jnp.where(jnp.isfinite(val), val, 0.0))
+
+    cam_prior = quad(state.cam_prior_lam, state.cam_prior_eta, cam_mu, 6)
+    lmk_prior = quad(state.lmk_prior_lam, state.lmk_prior_eta, lmk_mu, 3)
+    if axis_name is not None:
+        # edges are always sharded; landmark priors only in map mode
+        # (camera priors are replicated in both sharding modes)
+        if lmk_sharded:
+            robust, lmk_prior = jax.lax.psum((robust, lmk_prior), axis_name)
+        else:
+            robust = jax.lax.psum(robust, axis_name)
+    return robust + cam_prior + lmk_prior
+
+
+def _active_degrees(state: GBPState, graph: GBPGraph,
+                    axis_name: str | None, lmk_sharded: bool):
+    """Number of ACTIVE edges incident to each variable ([C], [L])."""
+    act = (state.active > 0).astype(state.cam_eta.dtype)
+    degc = jax.ops.segment_sum(act, graph.cam_idx,
+                               num_segments=graph.n_keyframes)
+    degl = jax.ops.segment_sum(act, graph.lmk_idx,
+                               num_segments=graph.n_points)
+    if axis_name is not None:
+        if lmk_sharded:
+            degc = jax.lax.psum(degc, axis_name)
+        else:
+            degc, degl = jax.lax.psum((degc, degl), axis_name)
+    return degc, degl
+
+
+def _accel_step(
+    state: GBPState, snap, avg, graph: GBPGraph, cfg: GBPConfig, degs,
+    axis_name: str | None, lmk_sharded: bool,
+):
+    """One fixed-point extrapolation at a chunk boundary.
+
+    The post-annealing convergence error is dominated by a near-gauge mode
+    (the whole map drifting toward the weak prior means) contracting at
+    1-eps per sweep — hundreds of sweeps per error decade. Successive
+    chunk-boundary displacements d_k of the belief means satisfy
+    d_k ~ r d_{k-1}, so the remaining error is d_k * r/(1-r): jumping by it
+    lands near the extrapolated limit, and the correction vanishes at the
+    fixed point (d -> 0), so the solver's fixed point is unchanged.
+
+    The jump is realised on the MESSAGE state (beliefs are derived): each
+    variable's belief-eta correction Lambda_v * g * dmu_v is split equally
+    over its active incident messages, so the refreshed belief hits the
+    extrapolated mean exactly while the per-message perturbation stays
+    O(1/degree) and is relaxed by subsequent sweeps. (Extrapolating raw
+    message deltas does NOT work: they are dominated by staggered
+    relinearisation jumps, not the smooth mode.)
+
+    Safety: the rate is estimated on camera-mean deltas (replicated under
+    both sharding modes — no collective), trusted only when successive
+    deltas are strongly aligned; the jump is trust-region capped; and the
+    extrapolated state is only ACCEPTED if the on-device MAP cost does not
+    increase — acceleration is monotone in the objective.
+
+    The displacement is measured between CHUNK-AVERAGED means (``avg``),
+    not endpoint means: never-quiescing edge clusters superimpose an
+    oscillation on the smooth drift that buries the mode in endpoint
+    deltas (measured cos^2 < 0.5 on fr1desk); averaging over a chunk
+    cancels the oscillation and leaves the drift.
+
+    ``snap`` = (avg_cam_prev, avg_lmk_prev, cam_dmu_prev).
+    """
+    cam_mu_prev, lmk_mu_prev, dmu_prev = snap
+    avg_cam, avg_lmk = avg
+    degc, degl = degs
+    dc_mu = avg_cam - cam_mu_prev
+    dl_mu = avg_lmk - lmk_mu_prev
+    # weakly-constrained landmarks can have transiently singular beliefs;
+    # never extrapolate a non-finite row
+    dl_mu = jnp.where(jnp.isfinite(dl_mu), dl_mu, 0.0)
+
+    num = jnp.sum(dc_mu * dmu_prev)
+    den = jnp.sum(dmu_prev * dmu_prev)
+    cur = jnp.sum(dc_mu * dc_mu)
+    safe_den = jnp.where(den > 0, den, 1.0)
+    r = jnp.where(den > 0, num / safe_den, 0.0)
+    cos2 = jnp.where((den > 0) & (cur > 0),
+                     (num * num) / (safe_den * jnp.where(cur > 0, cur, 1.0)),
+                     0.0)
+    aligned = (cos2 > 0.8) & (r > 0.1) & jnp.all(jnp.isfinite(dc_mu))
+    r = jnp.clip(r, 0.0, cfg.accel_max_rate)
+    gain = jnp.where(aligned, r / (1.0 - r), 0.0)
+    # trust region: no camera mean moves more than accel_max_step
+    step = gain * jnp.sqrt(jnp.max(jnp.sum(dc_mu * dc_mu, axis=0)))
+    gain = gain * jnp.minimum(1.0, cfg.accel_max_step / jnp.maximum(
+        step, 1e-30))
+
+    # eta corrections at fixed Lambda: eta' = Lambda (mu + g dmu)
+    cam_deta = pl.pack_vec(pl.matvec(pl.unpack_sym(state.cam_lam, 6),
+                                     pl.unpack_vec(gain * dc_mu, 6)))
+    lmk_deta = pl.pack_vec(pl.matvec(pl.unpack_sym(state.lmk_lam, 3),
+                                     pl.unpack_vec(gain * dl_mu, 3)))
+    cam_deta = jnp.where(jnp.isfinite(cam_deta), cam_deta, 0.0)
+    lmk_deta = jnp.where(jnp.isfinite(lmk_deta), lmk_deta, 0.0)
+    act = (state.active > 0).astype(cam_deta.dtype)[None]
+    cshare = jnp.where(degc > 0, 1.0 / jnp.maximum(degc, 1.0), 0.0)[None]
+    lshare = jnp.where(degl > 0, 1.0 / jnp.maximum(degl, 1.0), 0.0)[None]
+    cand = state._replace(
+        msg_c_eta=state.msg_c_eta + act * jnp.take(
+            cam_deta * cshare, graph.cam_idx, axis=1),
+        msg_l_eta=state.msg_l_eta + act * jnp.take(
+            lmk_deta * lshare, graph.lmk_idx, axis=1))
+    cand = update_beliefs(cand, graph, axis_name, lmk_sharded)
+    better = map_cost(cand, graph, cfg, axis_name, lmk_sharded) <= map_cost(
+        state, graph, cfg, axis_name, lmk_sharded)
+    accept = lambda a, b: jnp.where(better, a, b)   # noqa: E731
+    state = jax.tree.map(accept, cand, state)
+
+    # next chunk's averages are measured from the accepted state's frame:
+    # shift the stored averages by the applied jump so the following delta
+    # is drift, not the jump echo
+    jump_c = jnp.where(better, gain * dc_mu, 0.0)
+    jump_l = jnp.where(better, gain * dl_mu, 0.0)
+    snap = (avg_cam + jump_c, avg_lmk + jump_l, dc_mu)
+    return state, snap
 
 
 def run_gbp(
@@ -575,19 +734,71 @@ def run_gbp(
     axis_name: str | None = None,
     lmk_sharded: bool = False,
 ):
-    """Run `n_iters` GBP iterations as one lax.scan on device.
+    """Run `n_iters` GBP iterations on device.
 
     Returns (final_state, Diagnostics stacked over iterations) — the per-iter
     telemetry the reference prints from the host each sweep
     (reference: ba/ba.cpp:1022-1028) without any per-iter host round-trip.
+
+    With ``cfg.accel_every > 0`` the loop runs as chunks of that many sweeps
+    with a fixed-point extrapolation step at each chunk boundary
+    (``_accel_step``) — the hot per-sweep path is unchanged; all accelerator
+    work happens once per chunk.
     """
 
-    def body(s, i):
+    def sweep_body(s, i):
         s = iteration(s, graph, cfg, i + iter_offset, axis_name, lmk_sharded)
-        out = diagnostics(s, graph, cfg, axis_name) if with_diagnostics else None
+        out = (diagnostics(s, graph, cfg, axis_name)
+               if with_diagnostics else None)
         return s, out
 
-    return jax.lax.scan(body, state, jnp.arange(n_iters))
+    ce = cfg.accel_every
+    if ce <= 0 or n_iters < 2 * ce:
+        return jax.lax.scan(sweep_body, state, jnp.arange(n_iters))
+
+    n_chunks = n_iters // ce
+    rem = n_iters - n_chunks * ce
+    cam_mu0, lmk_mu0 = _variable_means(state)
+    snap0 = (cam_mu0, lmk_mu0, jnp.zeros_like(cam_mu0))
+    degs = _active_degrees(state, graph, axis_name, lmk_sharded)
+
+    def chunk_body(carry, c):
+        s, snap = carry
+
+        def inner(cr, j):
+            st, ac, al = cr
+            st, out = sweep_body(st, c * ce + j)
+            mc, ml = _variable_means(st)
+            ac = ac + jnp.nan_to_num(mc, nan=0.0, posinf=0.0, neginf=0.0)
+            al = al + jnp.nan_to_num(ml, nan=0.0, posinf=0.0, neginf=0.0)
+            return (st, ac, al), out
+
+        (s, ac, al), diag = jax.lax.scan(
+            inner, (s, jnp.zeros_like(snap0[0]), jnp.zeros_like(snap0[1])),
+            jnp.arange(ce))
+        avg = (ac / ce, al / ce)
+        it_end = c * ce + ce + iter_offset
+        s2, snap2 = _accel_step(s, snap, avg, graph, cfg, degs, axis_name,
+                                lmk_sharded)
+        live = it_end >= cfg.accel_start
+        s = jax.tree.map(lambda a, b: jnp.where(live, a, b), s2, s)
+        snap = jax.tree.map(lambda a, b: jnp.where(live, a, b), snap2,
+                            (avg[0], avg[1], snap[2]))
+        return (s, snap), diag
+
+    (state, _), diag = jax.lax.scan(chunk_body, (state, snap0),
+                                    jnp.arange(n_chunks))
+    if with_diagnostics:
+        diag = jax.tree.map(
+            lambda x: x.reshape((n_chunks * ce,) + x.shape[2:]), diag)
+    if rem:
+        state, diag_rem = jax.lax.scan(
+            lambda st, j: sweep_body(st, n_chunks * ce + j),
+            state, jnp.arange(rem))
+        if with_diagnostics:
+            diag = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b]), diag, diag_rem)
+    return state, diag
 
 
 def solve(
