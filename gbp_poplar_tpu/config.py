@@ -41,8 +41,13 @@ class GBPConfig:
     lambda_damping: bool = False
     # Also relinearise when the belief mean has drifted more than this from
     # the stored linearisation point (runaway-edge recapture). <= 0 disables
-    # (reference behaviour: quiescence-only relinearisation).
-    relin_drift_threshold: float = 0.0
+    # (reference behaviour: quiescence-only relinearisation). Default ON:
+    # quiescence-only relin leaves never-settling edge clusters oscillating
+    # with permanently stale potentials (fr1desk), which is fp32-rounding
+    # bistable — stable on one backend, divergent on another. Drift
+    # recapture quiesces them and also cuts the initial transient ~8x
+    # (fr1desk reaches 2 px by sweep 50 instead of sweep 400).
+    relin_drift_threshold: float = 0.05
     # Reset damping to 0 for freshly relinearised factors (reference
     # behaviour, gbp_codelets.cpp:282). With lambda_damping the (eta, Lambda)
     # consistency argument for the reset disappears, so it can be disabled.
@@ -84,6 +89,14 @@ class GBPConfig:
     # Trust region: the extrapolation jump is scaled down so no camera mean
     # moves more than this (metres).
     accel_max_step: float = 0.5
+    # Coarse-space correction (core/coarse.py): at each accel boundary,
+    # solve the MAP increment exactly over this many per-group rigid modes
+    # (keyframe groups; landmarks follow their first observer) and apply it
+    # when the cost decreases. Attacks the smooth low-frequency error that
+    # message passing relaxes diffusively. EXPERIMENTAL: cost-guarded and
+    # monotone per jump, but the jumps can disturb the message equilibrium
+    # on oscillation-prone sequences (fr1desk) — default off. 0 disables.
+    coarse_groups: int = 0
 
     # --- robustness guards (not in the reference, which relies on IPU FP
     # traps to abort instead; ba/ba.cpp:888) ---
@@ -93,9 +106,11 @@ class GBPConfig:
     # Factors are not relinearised while the landmark sits within this
     # distance of the camera plane (|z| < min_depth, either side) at the
     # candidate linearisation point — the projection Jacobian is singular at
-    # z = 0. Behind-camera points DO relinearise (Huber makes those factors
+    # z = 0 and its magnitude grows as 1/z^3 net of Huber, so a tight band
+    # admits potentials strong enough to blow up fp32 (observed at 0.01 on
+    # TPU). Behind-camera points DO relinearise (Huber makes those factors
     # weak; a one-sided guard deadlocks runaway landmarks). <= 0 disables.
-    min_depth: float = 0.01
+    min_depth: float = 0.05
 
     # --- execution ---
     # Fuse the per-edge sweep body into one Pallas TPU kernel ("auto" =

@@ -230,7 +230,14 @@ def solve_lm(
     cg_tol: float = 1e-6,
     lambda0: float = 1e-4,
 ) -> GNResult:
-    """Levenberg-Marquardt with iterative-Schur steps. Jit-compatible."""
+    """Levenberg-Marquardt with iterative-Schur steps. Jit-compatible.
+
+    All batched matmuls run at HIGHEST precision (ops/linalg). NOTE: the
+    COLD start from the prior means is fp32-rounding sensitive on the fr1
+    sequences (TPU and CPU runs can land ~0.1 px apart); warm starts (e.g.
+    polishing a GBP solution) are robust. Give cold starts >= 60 LM
+    iterations when using this as an accuracy oracle.
+    """
     nstds = cfg.huber_nstds
 
     def total_cost(cam, lmk):

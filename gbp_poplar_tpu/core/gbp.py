@@ -138,6 +138,36 @@ def linearise_all(state: GBPState, graph: GBPGraph, cfg: GBPConfig) -> GBPState:
         f_lam_cl=f_lam_cl, f_lam_ll=f_lam_ll, robust=robust, lin_mu=mu)
 
 
+def relinearise_masked(
+    state: GBPState, graph: GBPGraph, cfg: GBPConfig, mask: jax.Array
+) -> GBPState:
+    """Relinearise only the edges in `mask` at current belief means
+    (used by SLAM keyframe insertion and by the accelerator after an
+    accepted mean jump — stale linearisation points would otherwise block
+    the lazy relin trigger, whose dmu test needs quiescence)."""
+    f_eta_c, f_eta_l, f_lam_cc, f_lam_cl, f_lam_ll, robust, mu = (
+        _linearise_planes(state, graph, cfg))
+    # never adopt a linearisation at a non-finite mean (a weakly-constrained
+    # adjacent belief can be numerically singular)
+    mask = mask & jnp.isfinite(jnp.sum(jnp.abs(mu), axis=0))
+    if cfg.min_depth > 0.0:
+        # same Jacobian-singularity guard as the sweep's relin path
+        mu_rows = pl.unpack_vec(mu, 9)
+        y_cf, _ = pl.w2c_apply(mu_rows[:6], mu_rows[6:])
+        mask = mask & (jnp.abs(y_cf[2]) > cfg.min_depth)[0]
+    m1 = mask[None, :]
+    return state._replace(
+        f_eta_c=jnp.where(m1, f_eta_c, state.f_eta_c),
+        f_eta_l=jnp.where(m1, f_eta_l, state.f_eta_l),
+        f_lam_cc=jnp.where(m1, f_lam_cc, state.f_lam_cc),
+        f_lam_cl=jnp.where(m1, f_lam_cl, state.f_lam_cl),
+        f_lam_ll=jnp.where(m1, f_lam_ll, state.f_lam_ll),
+        lin_mu=jnp.where(m1, mu, state.lin_mu),
+        mu=jnp.where(m1, mu, state.mu),
+        robust=jnp.where(mask, robust, state.robust),
+    )
+
+
 def recenter_priors(
     state: GBPState,
     cam_mu: jax.Array | None = None,
@@ -633,6 +663,62 @@ def _active_degrees(state: GBPState, graph: GBPGraph,
     return degc, degl
 
 
+def _apply_mean_shift(
+    state: GBPState, graph: GBPGraph, cfg: GBPConfig,
+    dc_mu: jax.Array, dl_mu: jax.Array,
+    degs, axis_name: str | None, lmk_sharded: bool,
+) -> GBPState:
+    """Shift belief means by (dc_mu [6,C], dl_mu [3,L]) at fixed Lambda,
+    realised on the MESSAGE state: each variable's belief-eta correction
+    Lambda_v * dmu_v is split equally over its active incident messages, so
+    the refreshed belief hits the shifted mean exactly while the per-message
+    perturbation stays O(1/degree) and is relaxed by subsequent sweeps."""
+    degc, degl = degs
+    cam_deta = pl.pack_vec(pl.matvec(pl.unpack_sym(state.cam_lam, 6),
+                                     pl.unpack_vec(dc_mu, 6)))
+    lmk_deta = pl.pack_vec(pl.matvec(pl.unpack_sym(state.lmk_lam, 3),
+                                     pl.unpack_vec(dl_mu, 3)))
+    cam_deta = jnp.where(jnp.isfinite(cam_deta), cam_deta, 0.0)
+    lmk_deta = jnp.where(jnp.isfinite(lmk_deta), lmk_deta, 0.0)
+    act = (state.active > 0).astype(cam_deta.dtype)[None]
+    cshare = jnp.where(degc > 0, 1.0 / jnp.maximum(degc, 1.0), 0.0)[None]
+    lshare = jnp.where(degl > 0, 1.0 / jnp.maximum(degl, 1.0), 0.0)[None]
+    cand = state._replace(
+        msg_c_eta=state.msg_c_eta + act * jnp.take(
+            cam_deta * cshare, graph.cam_idx, axis=1),
+        msg_l_eta=state.msg_l_eta + act * jnp.take(
+            lmk_deta * lshare, graph.lmk_idx, axis=1))
+    del cfg
+    # NOTE: forcing relinearisation at the shifted means was tried and is
+    # actively harmful (relin storms destabilise fr1desk); the sweep's own
+    # lazy trigger recaptures once the jump re-quiesces.
+    return update_beliefs(cand, graph, axis_name, lmk_sharded)
+
+
+def _coarse_step(
+    state: GBPState, graph: GBPGraph, cfg: GBPConfig, degs,
+    axis_name: str | None, lmk_sharded: bool,
+) -> GBPState:
+    """Coarse-space correction (core/coarse.py): solve the MAP increment in
+    the per-group rigid subspace and apply it if the cost decreases.
+    Vanishes at the MAP fixed point (zero coarse gradient)."""
+    from . import coarse
+
+    cam_mu, lmk_mu = _variable_means(state)
+    d_cam, d_lmk = coarse.coarse_increment(
+        state, graph, cfg, cam_mu, lmk_mu, axis_name, lmk_sharded)
+    best = state
+    best_cost = map_cost(state, graph, cfg, axis_name, lmk_sharded)
+    for scale in (1.0, 0.3):
+        cand = _apply_mean_shift(state, graph, cfg, scale * d_cam,
+                                 scale * d_lmk, degs, axis_name, lmk_sharded)
+        cost = map_cost(cand, graph, cfg, axis_name, lmk_sharded)
+        better = cost < best_cost
+        best = jax.tree.map(lambda a, b: jnp.where(better, a, b), cand, best)
+        best_cost = jnp.where(better, cost, best_cost)
+    return best
+
+
 def _accel_step(
     state: GBPState, snap, avg, graph: GBPGraph, cfg: GBPConfig, degs,
     axis_name: str | None, lmk_sharded: bool,
@@ -694,22 +780,8 @@ def _accel_step(
     gain = gain * jnp.minimum(1.0, cfg.accel_max_step / jnp.maximum(
         step, 1e-30))
 
-    # eta corrections at fixed Lambda: eta' = Lambda (mu + g dmu)
-    cam_deta = pl.pack_vec(pl.matvec(pl.unpack_sym(state.cam_lam, 6),
-                                     pl.unpack_vec(gain * dc_mu, 6)))
-    lmk_deta = pl.pack_vec(pl.matvec(pl.unpack_sym(state.lmk_lam, 3),
-                                     pl.unpack_vec(gain * dl_mu, 3)))
-    cam_deta = jnp.where(jnp.isfinite(cam_deta), cam_deta, 0.0)
-    lmk_deta = jnp.where(jnp.isfinite(lmk_deta), lmk_deta, 0.0)
-    act = (state.active > 0).astype(cam_deta.dtype)[None]
-    cshare = jnp.where(degc > 0, 1.0 / jnp.maximum(degc, 1.0), 0.0)[None]
-    lshare = jnp.where(degl > 0, 1.0 / jnp.maximum(degl, 1.0), 0.0)[None]
-    cand = state._replace(
-        msg_c_eta=state.msg_c_eta + act * jnp.take(
-            cam_deta * cshare, graph.cam_idx, axis=1),
-        msg_l_eta=state.msg_l_eta + act * jnp.take(
-            lmk_deta * lshare, graph.lmk_idx, axis=1))
-    cand = update_beliefs(cand, graph, axis_name, lmk_sharded)
+    cand = _apply_mean_shift(state, graph, cfg, gain * dc_mu, gain * dl_mu,
+                             degs, axis_name, lmk_sharded)
     better = map_cost(cand, graph, cfg, axis_name, lmk_sharded) <= map_cost(
         state, graph, cfg, axis_name, lmk_sharded)
     accept = lambda a, b: jnp.where(better, a, b)   # noqa: E731
@@ -780,6 +852,8 @@ def run_gbp(
         it_end = c * ce + ce + iter_offset
         s2, snap2 = _accel_step(s, snap, avg, graph, cfg, degs, axis_name,
                                 lmk_sharded)
+        if cfg.coarse_groups > 0:
+            s2 = _coarse_step(s2, graph, cfg, degs, axis_name, lmk_sharded)
         live = it_end >= cfg.accel_start
         s = jax.tree.map(lambda a, b: jnp.where(live, a, b), s2, s)
         snap = jax.tree.map(lambda a, b: jnp.where(live, a, b), snap2,

@@ -111,29 +111,7 @@ def insert_keyframe(
     # Refresh beliefs with the new priors (NEW_KEYFRAME runs prog_ub,
     # slam.cpp:946-948), then linearise the just-activated factors at them.
     state = gbp.update_beliefs(state, graph, axis_name, lmk_sharded)
-    return _linearise_masked(state, graph, cfg, newly_active)
-
-
-def _linearise_masked(
-    state: GBPState, graph: GBPGraph, cfg: GBPConfig, mask: jax.Array
-) -> GBPState:
-    """Relinearise only the edges in `mask` at current belief means."""
-    f_eta_c, f_eta_l, f_lam_cc, f_lam_cl, f_lam_ll, robust, mu = (
-        gbp._linearise_planes(state, graph, cfg))
-    # never adopt a linearisation at a non-finite mean (a weakly-constrained
-    # adjacent belief can be numerically singular right after insertion)
-    mask = mask & jnp.isfinite(jnp.sum(jnp.abs(mu), axis=0))
-    m1 = mask[None, :]
-    return state._replace(
-        f_eta_c=jnp.where(m1, f_eta_c, state.f_eta_c),
-        f_eta_l=jnp.where(m1, f_eta_l, state.f_eta_l),
-        f_lam_cc=jnp.where(m1, f_lam_cc, state.f_lam_cc),
-        f_lam_cl=jnp.where(m1, f_lam_cl, state.f_lam_cl),
-        f_lam_ll=jnp.where(m1, f_lam_ll, state.f_lam_ll),
-        lin_mu=jnp.where(m1, mu, state.lin_mu),
-        mu=jnp.where(m1, mu, state.mu),
-        robust=jnp.where(mask, robust, state.robust),
-    )
+    return gbp.relinearise_masked(state, graph, cfg, newly_active)
 
 
 class SlamResult(NamedTuple):

@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gn_check", action="store_true",
                    help="also run the Gauss-Newton/Schur baseline and "
                         "report agreement")
+    p.add_argument("--polish", action="store_true",
+                   help="refine the GBP solution to the exact MAP with a "
+                        "warm-started Levenberg-Marquardt/Schur pass "
+                        "(the exported trajectory uses the polished means; "
+                        "the checkpoint keeps the GBP state)")
     return p
 
 
@@ -105,6 +110,31 @@ def main(argv=None) -> int:
 
     state = solver.unprep(state)
     cam_mu, lmk_mu = analysis.belief_means(state)
+    if args.polish:
+        # GBP resolves the geometry; a handful of warm-started LM/Schur
+        # steps on the same MAP objective remove the residual smooth-mode
+        # error (mm-exact agreement with the GN baseline). The priors are
+        # the solver's current (annealed) priors, so this optimises the
+        # identical objective the GBP fixed point targets.
+        import jax.numpy as jnp
+
+        from ..core import gauss_newton as gn
+        res = gn.solve_lm(
+            jnp.asarray(cam_mu), jnp.asarray(lmk_mu),
+            *_polish_problem(problem, cfg), cfg, n_lm_iters=15)
+        pol_cam = np.asarray(res.cam)
+        moved = float(np.linalg.norm(pol_cam[:, :3] - cam_mu[:, :3],
+                                     axis=1).max())
+        cam_mu, lmk_mu = pol_cam, np.asarray(res.lmk)
+        print(f"polish: reproj {float(res.reproj_err[-1]):.5f} px, "
+              f"max camera movement {moved:.5f} m", file=sys.stderr)
+    # independent host-side oracle (pure NumPy, no shared device code) —
+    # the reference's per-iteration host eval (ba/util.cpp:74-144), here at
+    # end-of-solve granularity
+    o_err, o_cost = evaluation.numpy_reprojection_error(cam_mu, lmk_mu,
+                                                        problem)
+    print(f"host oracle: reproj_err {o_err:.5f} px  cost {o_cost:.4f}",
+          file=sys.stderr)
     if args.v:
         np.set_printoptions(precision=5, suppress=True)
         print("cam means:\n", cam_mu)
@@ -172,6 +202,26 @@ class _Sharded:
 
     def run(self, state, n, offset):
         return self._solver.run(state, self._graph, n, offset)
+
+
+def _polish_problem(problem, cfg: GBPConfig):
+    """(unpadded graph, annealed GN priors) for the warm-started LM pass —
+    the identical MAP objective the GBP fixed point targets."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ..core import gauss_newton as gn
+    from ..core.factor_graph import build_graph
+    from ..utils import priors as priors_lib
+
+    graph1 = build_graph(problem,
+                         dataclasses.replace(cfg, edge_pad_multiple=1))
+    cam_lam0, lmk_lam0 = priors_lib.prior_lambdas(problem, cfg.meas_var)
+    pri = gn.annealed_priors(
+        graph1, jnp.asarray(problem.cam_means),
+        jnp.asarray(problem.lmk_means), cam_lam0, lmk_lam0, cfg)
+    return graph1, pri
 
 
 def _make_solver(graph, cfg: GBPConfig, n_devices: int):

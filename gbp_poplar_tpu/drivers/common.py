@@ -85,7 +85,7 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
 
 def config_from_args(
     args,
-    default_relin_drift: float = 0.0,
+    default_relin_drift: float = 0.05,
     default_lambda_damping: bool = False,
 ) -> tuple[GBPConfig, InitConfig]:
     relin_drift = (default_relin_drift if args.relin_drift is None

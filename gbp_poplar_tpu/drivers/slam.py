@@ -201,6 +201,14 @@ def main(argv=None) -> int:
 
     final_state = solver.checkpointable(result.state)
     cam_mu, lmk_mu = analysis.belief_means(final_state)
+    if args.devices <= 1:
+        # independent host-side oracle (pure NumPy; ba/util.cpp:74-144).
+        # Skipped in map-sharded mode: the partitioned state's landmark
+        # axis is block-local and does not match the problem's ids.
+        o_err, o_cost = evaluation.numpy_reprojection_error(
+            cam_mu, lmk_mu, problem)
+        print(f"host oracle: reproj_err {o_err:.5f} px  cost {o_cost:.4f}",
+              file=sys.stderr)
     if args.v:
         np.set_printoptions(precision=5, suppress=True)
         print("cam means:\n", cam_mu)

@@ -119,3 +119,42 @@ def export_tum(
             f.write(
                 f"{timestamps[i]:.6f} {c[0]:.9f} {c[1]:.9f} {c[2]:.9f} "
                 f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}\n")
+
+
+def numpy_reprojection_error(
+    cam_mu: np.ndarray, lmk_mu: np.ndarray, problem
+) -> tuple[float, float]:
+    """Independent host-side reprojection-error oracle (pure NumPy).
+
+    The reference recomputes the error on the host every iteration from
+    streamed-out beliefs (ba/util.cpp:74-144) — an end-to-end check of the
+    device math. The on-device telemetry here shares `ops.planes.project`
+    with the solver, so this function re-implements the measurement model
+    from scratch in NumPy (own Rodrigues, own projection; no JAX, no shared
+    code) and returns (mean residual norm px, total cost 0.5*sum||r||^2).
+    """
+    cam = np.asarray(cam_mu, np.float64)      # [C, 6] (t, w)
+    lmk = np.asarray(lmk_mu, np.float64)      # [L, 3]
+    k = np.asarray(problem.k, np.float64)
+    ci = np.asarray(problem.cam_idx)
+    li = np.asarray(problem.lmk_idx)
+    t = cam[ci, :3]
+    w = cam[ci, 3:]
+    y = lmk[li]
+    theta = np.linalg.norm(w, axis=1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        axis = np.where(theta > 1e-12, w / theta, 0.0)
+    ct = np.cos(theta)
+    st = np.sin(theta)
+    # Rodrigues: R y = y c + (a x y) s + a (a.y)(1-c);  w2c: x_c = R y + t
+    cross = np.cross(axis, y)
+    dot = np.sum(axis * y, axis=1, keepdims=True)
+    y_cf = y * ct + cross * st + axis * dot * (1.0 - ct) + t
+    z = y_cf[:, 2]
+    u = k[0, 0] * y_cf[:, 0] / z + k[0, 2]
+    v = k[1, 1] * y_cf[:, 1] / z + k[1, 2]
+    meas = np.asarray(problem.measurements, np.float64)
+    r = np.stack([meas[:, 0] - u, meas[:, 1] - v], axis=1)
+    norm = np.linalg.norm(r, axis=1)
+    ok = np.isfinite(norm)
+    return float(norm[ok].mean()), float(0.5 * np.sum(norm[ok] ** 2))

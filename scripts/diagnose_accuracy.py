@@ -112,8 +112,8 @@ for thr in (10.0, 50.0):
     print(f"  edges with res>{thr}: {m.sum()} "
           f"({res[m].sum() / e:.3f} px of the mean)")
 
-# GN comparison
-res_gn = gauss_newton.solve_problem(prob, cfg, n_lm_iters=30)
+# GN comparison (cold start needs generous LM iterations on TPU fp32)
+res_gn = gauss_newton.solve_problem(prob, cfg, n_lm_iters=60)
 gn_cam = np.asarray(res_gn.cam)
 gn_lmk = np.asarray(res_gn.lmk)
 from gbp_poplar_tpu.ops import projection as proj

@@ -78,6 +78,17 @@ def test_slam_cli_end_to_end(tiny_bal):
     assert r.stderr.count("inserted") == 3   # keyframes 2..4
 
 
+def test_ba_cli_polish(tiny_bal, tmp_path):
+    traj = str(tmp_path / "pol.txt")
+    r = _run("gbp_poplar_tpu.drivers.ba",
+             "--bal_file", tiny_bal, "--n_iters", "40",
+             "--print_every", "20", "--save_traj", traj, "--polish")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "polish:" in r.stderr
+    # polished output is a valid trajectory
+    assert np.isfinite(np.loadtxt(traj)).all()
+
+
 def test_slam_cli_resume(tiny_bal, tmp_path):
     ckpt = str(tmp_path / "s.npz")
     traj1 = str(tmp_path / "t1.txt")
