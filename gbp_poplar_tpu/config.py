@@ -130,6 +130,16 @@ class GBPConfig:
     # whole-array reshape); above it, brick per block inside the kernel
     # (see ops/sweep_kernel.py).
     pallas_hbm_brick_max_edges: int = 262144
+    # Feed the kernel gather-native [E, comp] belief blocks (transposed in
+    # VMEM per block) instead of [comp, E] planes. Saves two HBM relayout
+    # copies but costs a per-block VMEM transpose — measured net-slower on
+    # v5e; off by default (see ops/sweep_kernel.uses_native_gather).
+    pallas_native_gather: bool = False
+    # Fully-fused sweep: in-kernel windowed one-hot belief gather +
+    # reduction epilogue (ops/sweep_kernel.sweep_fused_pallas). "auto" =
+    # whenever the graph has per-block variable windows (build_graph);
+    # False forces the unfused gather/kernel/reduce pipeline.
+    pallas_fused: bool | str = "auto"
 
     @property
     def relin_count_threshold(self) -> int:

@@ -61,6 +61,11 @@ class GBPGraph(NamedTuple):
     # kernel; built when the edge order keeps per-block variable spans small.
     cam_blocked: object | None         # BlockedIndex or None
     lmk_blocked: object | None         # BlockedIndex or None
+    # Per-block variable windows for the FUSED sweep kernel (in-kernel
+    # one-hot gather prologue + reduction epilogue, ops/sweep_kernel.py);
+    # block size = the kernel's edge block. None disables fusion.
+    cam_win: object | None             # BlockedIndex or None
+    lmk_win: object | None             # BlockedIndex or None
 
     @property
     def n_keyframes(self) -> int:
@@ -140,6 +145,21 @@ def padded_n_edges(problem: BAProblem, cfg: GBPConfig) -> int:
     return -(-problem.n_edges // m) * m
 
 
+def edge_order(problem: BAProblem) -> np.ndarray:
+    """Canonical edge order: sorted by (landmark, keyframe).
+
+    Every per-edge array in GBPGraph/GBPState uses this order (build_graph
+    and init_state apply it consistently). Sorting by landmark makes each
+    1024-edge kernel block touch a SMALL window of both variable kinds on
+    real SLAM data (TUM: lmk span <= 315, cam span <= 63, vs whole-map lmk
+    spans in file order), which is what lets the fused sweep kernel gather
+    beliefs and emit reduction partials through block-local windows.
+    BAL-file order (sorted by camera) is NOT assumed anywhere downstream.
+    """
+    return np.lexsort((np.asarray(problem.cam_idx),
+                       np.asarray(problem.lmk_idx)))
+
+
 def build_graph(
     problem: BAProblem, cfg: GBPConfig, dtype=jnp.float32
 ) -> GBPGraph:
@@ -154,22 +174,35 @@ def build_graph(
     e_pad = padded_n_edges(problem, cfg)
     pad = e_pad - e
 
-    cam_idx = np.pad(problem.cam_idx.astype(np.int32), (0, pad))
-    lmk_idx = np.pad(problem.lmk_idx.astype(np.int32), (0, pad))
-    meas = np.pad(problem.measurements.T, [(0, 0), (0, pad)])
+    order = edge_order(problem)
+    cam_idx_o = np.asarray(problem.cam_idx)[order].astype(np.int32)
+    lmk_idx_o = np.asarray(problem.lmk_idx)[order].astype(np.int32)
+    cam_idx = np.pad(cam_idx_o, (0, pad))
+    lmk_idx = np.pad(lmk_idx_o, (0, pad))
+    meas = np.pad(np.asarray(problem.measurements)[order].T,
+                  [(0, 0), (0, pad)])
     cam_onehot = None
     if e_pad * c * 4 <= CAM_ONEHOT_MAX_BYTES:
-        onehot = (problem.cam_idx[:, None] == np.arange(c)[None, :])
+        onehot = (cam_idx_o[:, None] == np.arange(c)[None, :])
         cam_onehot = jnp.asarray(np.pad(onehot, [(0, pad), (0, 0)]), dtype)
     cam_blocked = lmk_blocked = None
     if e_pad >= BLOCKED_REDUCE_MIN_EDGES:
         from ..ops.reduce_kernel import build_blocked_index
         if cam_onehot is None:
             cam_blocked = build_blocked_index(
-                problem.cam_idx, c, block_edges=8192, n_edges_padded=e_pad)
+                cam_idx_o, c, block_edges=8192, n_edges_padded=e_pad)
         lmk_blocked = build_blocked_index(
-            problem.lmk_idx, problem.n_points, block_edges=1024,
+            lmk_idx_o, problem.n_points, block_edges=1024,
             n_edges_padded=e_pad)
+    # fused sweep kernel windows (keyed to the kernel's edge-block size);
+    # fusion needs BOTH kinds, so drop partial availability
+    from ..ops.reduce_kernel import build_fused_window
+    kb = max(cfg.pallas_block_edges, 1024)
+    cam_win = build_fused_window(cam_idx_o, c, kb, n_edges_padded=e_pad)
+    lmk_win = build_fused_window(lmk_idx_o, problem.n_points, kb,
+                                 n_edges_padded=e_pad)
+    if cam_win is None or lmk_win is None:
+        cam_win = lmk_win = None
     return GBPGraph(
         cam_idx=jnp.asarray(cam_idx),
         lmk_idx=jnp.asarray(lmk_idx),
@@ -182,6 +215,8 @@ def build_graph(
         cam_onehot=cam_onehot,
         cam_blocked=cam_blocked,
         lmk_blocked=lmk_blocked,
+        cam_win=cam_win,
+        lmk_win=lmk_win,
     )
 
 
@@ -200,7 +235,10 @@ def init_state(
     c, l = problem.n_keyframes, problem.n_points
     e = padded_n_edges(problem, cfg)
     pad = e - problem.n_edges
-    active = np.pad(flags.active_flag.astype(np.int32), (0, pad))
+    # per-edge flags follow the canonical (landmark, keyframe) edge order
+    # that build_graph applies to every per-edge graph array
+    active = np.pad(
+        flags.active_flag.astype(np.int32)[edge_order(problem)], (0, pad))
     f = dtype
     return GBPState(
         cam_eta=jnp.zeros((CAM_DOF, c), f),

@@ -464,15 +464,47 @@ def _use_pallas(cfg: GBPConfig) -> bool:
     return bool(cfg.use_pallas)  # True, False, or "interpret" (CPU CI)
 
 
+def _win_table_rows(win, n_var: int) -> int:
+    """Static row count for a var-major belief table the fused kernel can
+    window-DMA from (k == -1 marks whole-table windows)."""
+    if win.k == -1:
+        return win.w
+    return -(-n_var // 128) * 128 + win.w
+
+
 def gbp_sweep(
     state: GBPState, graph: GBPGraph, cfg: GBPConfig,
     axis_name: str | None = None, lmk_sharded: bool = False,
 ) -> GBPState:
+    use_pallas = _use_pallas(cfg)
+    fused = (use_pallas and graph.cam_win is not None
+             and (cfg.pallas_fused is True or cfg.pallas_fused == "auto"))
+    if fused:
+        return _gbp_sweep_fused(state, graph, cfg, axis_name, lmk_sharded)
+
     # --- belief gathers (XLA: dynamic indexing; one gather per kind) ---
-    bc = jnp.take(jnp.concatenate([state.cam_eta, state.cam_lam]),
-                  graph.cam_idx, axis=1)                      # [27, E]
-    bl = jnp.take(jnp.concatenate([state.lmk_eta, state.lmk_lam]),
-                  graph.lmk_idx, axis=1)                      # [9, E]
+    native = False
+    if use_pallas:
+        from ..ops.sweep_kernel import uses_native_gather
+        native = uses_native_gather(graph.n_edges, cfg)
+    if native:
+        # large-E kernel path: gather from VAR-MAJOR tables so the gather's
+        # natural edge-major output feeds the kernel directly (saves two
+        # [*, E] relayout copies per sweep; the kernel transposes per block
+        # in VMEM). Lane pad to the kernel's expected widths (32 / 16).
+        cam_tbl = jnp.pad(
+            jnp.concatenate([state.cam_eta, state.cam_lam]).T,
+            [(0, 0), (0, 5)])                                 # [C, 32]
+        lmk_tbl = jnp.pad(
+            jnp.concatenate([state.lmk_eta, state.lmk_lam]).T,
+            [(0, 0), (0, 7)])                                 # [L, 16]
+        bc = jnp.take(cam_tbl, graph.cam_idx, axis=0)         # [E, 32]
+        bl = jnp.take(lmk_tbl, graph.lmk_idx, axis=0)         # [E, 16]
+    else:
+        bc = jnp.take(jnp.concatenate([state.cam_eta, state.cam_lam]),
+                      graph.cam_idx, axis=1)                  # [27, E]
+        bl = jnp.take(jnp.concatenate([state.lmk_eta, state.lmk_lam]),
+                      graph.lmk_idx, axis=1)                  # [9, E]
 
     inputs = (bc, bl,
               graph.meas, graph.meas_var,
@@ -483,7 +515,7 @@ def gbp_sweep(
               state.damping, state.damping_count, state.mu, state.lin_mu,
               state.robust, state.active)
 
-    if _use_pallas(cfg):
+    if use_pallas:
         from ..ops.sweep_kernel import sweep_edge_math_pallas
         outs = sweep_edge_math_pallas(inputs, graph.k, cfg,
                                       interpret=cfg.use_pallas == "interpret")
@@ -508,6 +540,62 @@ def gbp_sweep(
 
     # --- belief update (reduce) ---
     return update_beliefs(state, graph, axis_name, lmk_sharded)
+
+
+def _gbp_sweep_fused(
+    state: GBPState, graph: GBPGraph, cfg: GBPConfig,
+    axis_name: str | None, lmk_sharded: bool,
+) -> GBPState:
+    """One sweep through the fully-fused kernel: in-kernel windowed belief
+    gather + edge math + reduction partials (ops/sweep_kernel.py); only the
+    tiny window-partial combine and the prior add run as XLA ops."""
+    from ..ops.reduce_kernel import combine_partials
+    from ..ops.sweep_kernel import sweep_fused_pallas
+
+    c, l = graph.n_keyframes, graph.n_points
+    cam_rows = _win_table_rows(graph.cam_win, c)
+    lmk_rows = _win_table_rows(graph.lmk_win, l)
+    cam_tbl = jnp.pad(jnp.concatenate([state.cam_eta, state.cam_lam]).T,
+                      [(0, cam_rows - c), (0, 101)])          # [rows, 128]
+    lmk_tbl = jnp.pad(jnp.concatenate([state.lmk_eta, state.lmk_lam]).T,
+                      [(0, lmk_rows - l), (0, 119)])
+
+    inputs = (graph.meas, graph.meas_var,
+              state.f_eta_c, state.f_eta_l, state.f_lam_cc,
+              state.f_lam_cl, state.f_lam_ll,
+              state.msg_c_eta, state.msg_c_lam,
+              state.msg_l_eta, state.msg_l_lam,
+              state.damping, state.damping_count, state.mu, state.lin_mu,
+              state.robust, state.active)
+    outs, cam_part, lmk_part = sweep_fused_pallas(
+        inputs, cam_tbl, lmk_tbl, graph.cam_idx, graph.lmk_idx,
+        graph.cam_win, graph.lmk_win, graph.k, cfg,
+        interpret=cfg.use_pallas == "interpret")
+
+    (f_eta_c, f_eta_l, f_lam_cc, f_lam_cl, f_lam_ll,
+     msg_c_eta, msg_c_lam, msg_l_eta, msg_l_lam,
+     damping, damping_count, new_mu, lin_mu, robust) = outs
+    state = state._replace(
+        f_eta_c=f_eta_c, f_eta_l=f_eta_l, f_lam_cc=f_lam_cc,
+        f_lam_cl=f_lam_cl, f_lam_ll=f_lam_ll,
+        msg_c_eta=msg_c_eta, msg_c_lam=msg_c_lam,
+        msg_l_eta=msg_l_eta, msg_l_lam=msg_l_lam,
+        damping=damping[0], damping_count=damping_count[0],
+        mu=new_mu, lin_mu=lin_mu, robust=robust[0],
+    )
+
+    cam_sum = combine_partials(cam_part, graph.cam_win, c)    # [27, C]
+    lmk_sum = combine_partials(lmk_part, graph.lmk_win, l)    # [9, L]
+    if axis_name is not None:
+        if lmk_sharded:
+            cam_sum = jax.lax.psum(cam_sum, axis_name)
+        else:
+            cam_sum, lmk_sum = jax.lax.psum((cam_sum, lmk_sum), axis_name)
+    return state._replace(
+        cam_eta=state.cam_prior_eta + cam_sum[:6],
+        cam_lam=state.cam_prior_lam + cam_sum[6:],
+        lmk_eta=state.lmk_prior_eta + lmk_sum[:3],
+        lmk_lam=state.lmk_prior_lam + lmk_sum[3:])
 
 
 # ---------------------------------------------------------------------------

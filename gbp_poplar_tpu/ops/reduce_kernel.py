@@ -105,14 +105,15 @@ def build_blocked_index(
                     base=jnp.asarray(base), combine_ids=None, w=w,
                     block_edges=block_edges, stride=s, k=k)
 
+    # grid-cell combine (see blocked_reduce): bases are 128-aligned, so the
+    # per-block partial windows land on a 128-lane grid and combine with a
+    # tiny block-axis segment-sum + w/128 static shifted adds — no big sort
     base = (lo // 128 * 128).astype(np.int32)       # lane-aligned
     span = int((hi - base + 1).max())
     w = int(2 ** np.ceil(np.log2(max(span, 128))))  # pow2 >= 128
-    ids = base[:, None].astype(np.int64) + np.arange(w)[None, :]
-    ids = np.where(ids < n_var, ids, n_var).astype(np.int32)
     return BlockedIndex(
         base=jnp.asarray(base),
-        combine_ids=jnp.asarray(ids.reshape(-1)),
+        combine_ids=None,
         w=w,
         block_edges=block_edges,
         stride=0,
@@ -175,7 +176,18 @@ def blocked_reduce(
         interpret=interpret,
     )(bidx.base, idx[None], planes)
 
-    if bidx.combine_ids is None:
+    return combine_partials(partials, bidx, n_var).astype(planes.dtype)
+
+
+def combine_partials(
+    partials: jax.Array, bidx: BlockedIndex, n_var: int
+) -> jax.Array:
+    """Merge per-block window partials [n_blocks, comp, W] -> [comp, n_var].
+
+    Used by blocked_reduce and by the fused sweep kernel's reduction
+    epilogue (ops/sweep_kernel.py)."""
+    n_blocks, comp, _ = partials.shape
+    if bidx.stride > 0:
         # structured combine: group r (blocks r, r+k, ...) has adjacent,
         # disjoint windows starting at r*stride — concat and shift-add,
         # no scatter
@@ -188,12 +200,62 @@ def blocked_reduce(
             g = grp.shape[0]
             tiled = jnp.moveaxis(grp, 0, 1).reshape(comp, g * w)
             out = out.at[:, r * s:r * s + g * w].add(tiled)
-        return out[:, :n_var].astype(planes.dtype)
+        return out[:, :n_var]
 
-    flat = jnp.moveaxis(partials, 1, 2).reshape(n_blocks * bidx.w, comp)
-    summed = jax.ops.segment_sum(flat, bidx.combine_ids,
-                                 num_segments=n_var + 1)
-    return summed[:n_var].T.astype(planes.dtype)
+    if bidx.k == -1:
+        # whole-table windows (small problems): every block's window covers
+        # the full variable axis — a plain sum over blocks
+        return jnp.sum(partials, axis=0)[:, :n_var]
+
+    # grid-cell overlap-add combine. Bases are 128-aligned, so window i
+    # occupies cells [base_i/128, base_i/128 + m) of a 128-lane grid.
+    # Summing partials per STARTING cell is a segment-sum over n_blocks
+    # tiny ids (hundreds — XLA's sort there is negligible, unlike the
+    # n_blocks*w-id scatter this replaces, which cost more than the whole
+    # sweep kernel at 1M edges), and the m cell columns then merge with m
+    # static shifted adds — scatter-free and layout-friendly.
+    m = bidx.w // 128
+    n_cells = -(-n_var // 128) + 1
+    cell = bidx.base // 128                                # [n_blocks]
+    p = jax.ops.segment_sum(partials, cell, num_segments=n_cells)
+    chunks = p.reshape(n_cells, comp, m, 128)
+    out = jnp.zeros((n_cells + m, comp, 128), jnp.float32)
+    for j in range(m):
+        out = out.at[j:j + n_cells].add(chunks[:, :, j])
+    res = jnp.moveaxis(out, 0, 1).reshape(comp, (n_cells + m) * 128)
+    return res[:, :n_var]
+
+
+def build_fused_window(
+    idx: np.ndarray, n_var: int, block_edges: int,
+    n_edges_padded: int | None = None,
+    max_span: int = 1024, max_whole_table: int = 1024,
+) -> BlockedIndex | None:
+    """Per-block variable windows for the fused sweep kernel's in-kernel
+    gather/reduce (one BlockedIndex keyed to the kernel's edge-block size).
+
+    Prefers local windows (edge order groups variables); falls back to
+    whole-table windows for small variable counts (every base 0, window
+    covering the padded table; marked with k = -1 so combine_partials sums
+    over blocks); returns None when neither applies (the sweep then uses
+    the unfused XLA gather + blocked/segment reduction)."""
+    b = build_blocked_index(idx, n_var, block_edges,
+                            n_edges_padded=n_edges_padded, max_span=max_span)
+    if b is not None and b.stride == 0:
+        return b
+    if b is not None:
+        # stride-structured windows also work for the kernel (bases/w are
+        # what the DMA needs; the combine uses the stride path)
+        return b
+    if n_var <= max_whole_table:
+        e = len(idx)
+        e_pad = n_edges_padded or e
+        n_blocks = -(-e_pad // block_edges)
+        w = int(2 ** np.ceil(np.log2(max(n_var, 128))))
+        return BlockedIndex(
+            base=jnp.zeros((n_blocks,), jnp.int32), combine_ids=None,
+            w=w, block_edges=block_edges, stride=0, k=-1)
+    return None
 
 
 def _gather_kernel(w: int, comp: int, base_ref, idx_ref, src_ref, out_ref):

@@ -40,7 +40,7 @@ _OUT_LAYOUT = (
 )
 
 
-def _kernel(cfg: GBPConfig, sub: int, k_ref, *refs):
+def _kernel(cfg: GBPConfig, sub: int, native: tuple, k_ref, *refs):
     from ..core.gbp import EDGE_MATH_INPUTS, edge_math
 
     n_in = len(EDGE_MATH_INPUTS)
@@ -49,8 +49,14 @@ def _kernel(cfg: GBPConfig, sub: int, k_ref, *refs):
     # the wrapper already bricked the HBM arrays (cheaper at small E, where
     # the whole-array reshape is cheap and the per-block relayout is not).
     vals = []
-    for r in refs[:n_in]:
+    for j, r in enumerate(refs[:n_in]):
         x = r[...]
+        if native and j < 2:
+            # belief blocks arrive in the GATHER-NATIVE edge-major layout
+            # [BE, comp_pad] (XLA's gather emits edge-major; consuming it
+            # directly saves two [*, E] relayout copies per sweep in HBM);
+            # transpose to planes in VMEM and drop the lane padding
+            x = jnp.transpose(x)[:native[j]]
         if sub > 1:
             comp, be = x.shape
             x = x.reshape(comp * sub, be // sub)
@@ -72,7 +78,7 @@ def sweep_edge_math_pallas(inputs: tuple, k: jax.Array, cfg: GBPConfig,
     rows shaped (1, E), matching edge_math's convention). ``interpret``
     runs the kernel through the Pallas interpreter (CPU CI parity).
     """
-    e = inputs[0].shape[-1]
+    e = inputs[-1].shape[-1]
     sub = 8
     block = max(cfg.pallas_block_edges, sub * 128)
     e_pad = _round_up(e, block)
@@ -86,6 +92,11 @@ def sweep_edge_math_pallas(inputs: tuple, k: jax.Array, cfg: GBPConfig,
     hbm_brick = e_pad <= cfg.pallas_hbm_brick_max_edges
     kernel_sub = 1 if hbm_brick else sub
     be = block // sub if hbm_brick else block
+    # gather-native belief blocks: (n_planes, lane_pad) per belief input
+    # when the caller passes [E, lane_pad] edge-major arrays (large-E path)
+    native = ()
+    if not hbm_brick and inputs[0].ndim == 2 and inputs[0].shape[0] == e:
+        native = (27, 9)
 
     def prep(x):
         if x.ndim == 1:
@@ -98,7 +109,12 @@ def sweep_edge_math_pallas(inputs: tuple, k: jax.Array, cfg: GBPConfig,
             x = x.reshape(x.shape[0] * sub, e_pad // sub)
         return x
 
-    prepped = [prep(x) for x in inputs]
+    def prep_native(x):
+        # [E, lane_pad] edge-major: pad the EDGE axis (rows)
+        return jnp.pad(x, [(0, pad), (0, 0)]) if pad else x
+
+    prepped = [prep_native(x) if native and j < 2 else prep(x)
+               for j, x in enumerate(inputs)]
     f = prepped[0].dtype
     dt = {"f": f, "i": jnp.int32, "u": jnp.uint8}
     oshape = ((lambda n: (n * sub, e_pad // sub)) if hbm_brick
@@ -110,6 +126,15 @@ def sweep_edge_math_pallas(inputs: tuple, k: jax.Array, cfg: GBPConfig,
         return plx.BlockSpec((shape[0], be), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
 
+    def spec_native(shape):
+        return plx.BlockSpec((be, shape[1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+
+    in_specs = [plx.BlockSpec(memory_space=pltpu.SMEM)]         # intrinsics
+    for j, x in enumerate(prepped):
+        in_specs.append(spec_native(x.shape) if native and j < 2
+                        else spec(x.shape))
+
     n_planes_in = sum(x.shape[0] for x in prepped)
     n_planes_out = sum(s.shape[0] for s in out_shapes)
     cost = plx.CostEstimate(
@@ -119,10 +144,9 @@ def sweep_edge_math_pallas(inputs: tuple, k: jax.Array, cfg: GBPConfig,
     )
 
     outs = plx.pallas_call(
-        functools.partial(_kernel, cfg, kernel_sub),
+        functools.partial(_kernel, cfg, kernel_sub, native),
         grid=(e_pad // (sub * be) if hbm_brick else e_pad // be,),
-        in_specs=([plx.BlockSpec(memory_space=pltpu.SMEM)]      # intrinsics
-                  + [spec(x.shape) for x in prepped]),
+        in_specs=in_specs,
         out_specs=[spec(s.shape) for s in out_shapes],
         out_shape=out_shapes,
         cost_estimate=cost,
@@ -140,3 +164,187 @@ def sweep_edge_math_pallas(inputs: tuple, k: jax.Array, cfg: GBPConfig,
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused sweep: in-kernel windowed one-hot gather prologue + reduction
+# epilogue. Per edge block the kernel DMAs the [W, 128] windows of the
+# var-major belief tables, builds the block one-hots in registers, gathers
+# the adjacent beliefs with two MXU contractions, runs edge_math, and
+# contracts the freshly computed messages back into per-block window
+# partials — the whole sweep touches HBM once per array. Replaces: two XLA
+# gathers + their relayout copies + the standalone blocked-reduce kernels
+# (measured 8+ ms of the 14 ms sweep at 1.09M edges; the windowed one-hot
+# gather microbenches at ~0.3 ms).
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int,
+                  cam_base_ref, lmk_base_ref,
+                  k_ref, cam_idx_ref, lmk_idx_ref, cam_tbl_ref, lmk_tbl_ref,
+                  *refs):
+    from ..core.gbp import EDGE_MATH_INPUTS, edge_math
+
+    n_in = len(EDGE_MATH_INPUTS) - 2            # bc/bl come from the tables
+    i = plx.program_id(0)
+    c0 = cam_base_ref[i]
+    l0 = lmk_base_ref[i]
+    be = cam_idx_ref.shape[-1]
+
+    def inner(cwin, lwin, sem_c, sem_l):
+        dma_c = pltpu.make_async_copy(
+            cam_tbl_ref.at[plx.ds(c0, wc), :], cwin, sem_c)
+        dma_l = pltpu.make_async_copy(
+            lmk_tbl_ref.at[plx.ds(l0, wl), :], lwin, sem_l)
+        dma_c.start()
+        dma_l.start()
+        dma_c.wait()
+        dma_l.wait()
+
+        hi = jax.lax.Precision.HIGHEST
+        oh_c = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (wc, be), 0) + c0
+            == cam_idx_ref[...], 1.0, 0.0).astype(jnp.float32)
+        oh_l = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (wl, be), 0) + l0
+            == lmk_idx_ref[...], 1.0, 0.0).astype(jnp.float32)
+        # gather: [W, 32] window x [W, BE] one-hot -> [32, BE] (exact: each
+        # output column is a single product value * 1.0)
+        bc = jax.lax.dot_general(cwin[:, :32], oh_c, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=hi)[:27]
+        bl = jax.lax.dot_general(lwin[:, :32], oh_l, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=hi)[:9]
+
+        def brick(x):
+            comp, n = x.shape
+            return x.reshape(comp * sub, n // sub)
+
+        vals = [brick(bc), brick(bl)]
+        for r in refs[:n_in]:
+            vals.append(brick(r[...]))
+        outs = edge_math(*vals, k_ref, cfg)
+        flat = []
+        for r, o in zip(refs[n_in:n_in + len(outs)], outs):
+            o2 = o.reshape(r.shape[0], -1)
+            r[...] = o2.astype(r.dtype)
+            flat.append(o2)
+        # reduction epilogue: messages (already in registers) -> window
+        # partials via the same one-hots
+        msg_cam = jnp.concatenate([flat[5], flat[6]])          # [27, BE]
+        msg_lmk = jnp.concatenate([flat[7], flat[8]])          # [9, BE]
+        cam_part_ref, lmk_part_ref = refs[n_in + len(outs):]
+        cam_part_ref[...] = jax.lax.dot_general(
+            msg_cam, oh_c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi)[None]
+        lmk_part_ref[...] = jax.lax.dot_general(
+            msg_lmk, oh_l, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi)[None]
+
+    plx.run_scoped(
+        inner,
+        cwin=pltpu.VMEM((wc, 128), jnp.float32),
+        lwin=pltpu.VMEM((wl, 128), jnp.float32),
+        sem_c=pltpu.SemaphoreType.DMA(()),
+        sem_l=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+def sweep_fused_pallas(
+    inputs: tuple, cam_tbl: jax.Array, lmk_tbl: jax.Array,
+    cam_idx: jax.Array, lmk_idx: jax.Array,
+    cam_win, lmk_win, k: jax.Array, cfg: GBPConfig,
+    interpret: bool = False,
+):
+    """Fused sweep. ``inputs`` = EDGE_MATH_INPUTS WITHOUT bc/bl; the belief
+    tables are var-major lane-padded ([rows, 128], cols 0..26 / 0..8 used).
+    Returns (EDGE_MATH_OUTPUTS tuple, cam_partials [NB, 27, Wc],
+    lmk_partials [NB, 9, Wl]) — combine with reduce_kernel.combine_partials.
+    """
+    e = inputs[-1].shape[-1]
+    sub = 8
+    be = max(cfg.pallas_block_edges, sub * 128)
+    assert cam_win.block_edges == be and lmk_win.block_edges == be
+    e_pad = _round_up(e, be)
+    pad = e_pad - e
+    nb = e_pad // be
+
+    def prep(x):
+        if x.ndim == 1:
+            x = x[None]
+        if x.dtype == jnp.bool_:
+            x = x.astype(jnp.uint8)
+        if pad:
+            x = jnp.pad(x, [(0, 0), (0, pad)])
+        return x
+
+    prepped = [prep(x) for x in inputs]
+    ci = prep(cam_idx)
+    li = prep(lmk_idx)
+    f = prepped[0].dtype
+    dt = {"f": f, "i": jnp.int32, "u": jnp.uint8}
+    out_shapes = [jax.ShapeDtypeStruct((n, e_pad), dt[kind])
+                  for (n, kind) in _OUT_LAYOUT]
+    out_shapes += [
+        jax.ShapeDtypeStruct((nb, 27, cam_win.w), jnp.float32),
+        jax.ShapeDtypeStruct((nb, 9, lmk_win.w), jnp.float32),
+    ]
+
+    def spec(shape):
+        return plx.BlockSpec((shape[0], be), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=([plx.BlockSpec(memory_space=pltpu.SMEM),    # intrinsics
+                   spec(ci.shape), spec(li.shape),
+                   plx.BlockSpec(memory_space=pltpu.ANY),     # cam table
+                   plx.BlockSpec(memory_space=pltpu.ANY)]     # lmk table
+                  + [spec(x.shape) for x in prepped]),
+        out_specs=([spec(s.shape) for s in out_shapes[:-2]]
+                   + [plx.BlockSpec((1, 27, cam_win.w),
+                                    lambda i, *_: (i, 0, 0),
+                                    memory_space=pltpu.VMEM),
+                      plx.BlockSpec((1, 9, lmk_win.w),
+                                    lambda i, *_: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)]),
+    )
+
+    n_planes = sum(x.shape[0] for x in prepped) + sum(
+        s.shape[-2] if len(s.shape) == 3 else s.shape[0] for s in out_shapes)
+    cost = plx.CostEstimate(
+        flops=3000 * e_pad + 2 * e_pad * 32 * (cam_win.w + lmk_win.w),
+        bytes_accessed=n_planes * e_pad * 4,
+        transcendentals=12 * e_pad,
+    )
+
+    outs = plx.pallas_call(
+        functools.partial(_fused_kernel, cfg, sub, cam_win.w, lmk_win.w),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(cam_win.base, lmk_win.base, k, ci, li, cam_tbl, lmk_tbl, *prepped)
+
+    outs = list(outs)
+    cam_part, lmk_part = outs[-2], outs[-1]
+    outs = outs[:-2]
+    if pad:
+        outs = [o[:, :e] for o in outs]
+    outs[-1] = outs[-1].astype(jnp.bool_)
+    return tuple(outs), cam_part, lmk_part
+
+
+def uses_native_gather(e: int, cfg: GBPConfig) -> bool:
+    """True when the kernel takes beliefs in gather-native [E, comp_pad]
+    layout (the large-E in-kernel-brick path). The caller then gathers from
+    a VAR-MAJOR table so XLA's gather output feeds the kernel with no
+    relayout copy. MEASURED SLOWER on v5e (the per-block [BE, 32] VMEM
+    transpose costs more than the two [*, E] HBM relayout copies it saves:
+    16.6 vs 13.9 ms/sweep at 1.09M edges) — kept behind a flag for other
+    hardware generations."""
+    if not cfg.pallas_native_gather:
+        return False
+    block = max(cfg.pallas_block_edges, 8 * 128)
+    return _round_up(e, block) > cfg.pallas_hbm_brick_max_edges

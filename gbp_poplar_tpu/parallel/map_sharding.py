@@ -111,6 +111,8 @@ def partition_by_landmark(
         cam_onehot=None,
         cam_blocked=None,
         lmk_blocked=None,
+        cam_win=None,
+        lmk_win=None,
     )
 
     def pad_lmk(x, fill=0.0):

@@ -74,7 +74,7 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 # Single-chip reduction accelerators; dropped for sharded graphs (see
 # pad_edges) — their indices are global-edge-ordered and do not shard.
 _GRAPH_DROPPED_FIELDS = frozenset({
-    "cam_onehot", "cam_blocked", "lmk_blocked",
+    "cam_onehot", "cam_blocked", "lmk_blocked", "cam_win", "lmk_win",
 })
 
 
@@ -117,7 +117,7 @@ def pad_edges(
     # global edge order; the sharded path always reduces via per-shard
     # segment_sum + psum.
     graph = graph._replace(cam_onehot=None, cam_blocked=None,
-                           lmk_blocked=None)
+                           lmk_blocked=None, cam_win=None, lmk_win=None)
     pad = (-e) % n_shards
     if pad == 0:
         return graph, state, 0

@@ -114,9 +114,50 @@ def main():
     reduce = jax.jit(lambda s: jax.lax.scan(reduce_body, s, None,
                                             length=k)[0])
 
+    # --- pairwise compositions to localise interaction costs ---
+    def gk_body(s, _):
+        bc = jnp.take(jnp.concatenate([s.cam_eta, s.cam_lam]),
+                      graph.cam_idx, axis=1)
+        bl = jnp.take(jnp.concatenate([s.lmk_eta, s.lmk_lam]),
+                      graph.lmk_idx, axis=1)
+        inputs = (bc, bl, graph.meas, graph.meas_var,
+                  s.f_eta_c, s.f_eta_l, s.f_lam_cc, s.f_lam_cl, s.f_lam_ll,
+                  s.msg_c_eta, s.msg_c_lam, s.msg_l_eta, s.msg_l_lam,
+                  s.damping, s.damping_count, s.mu, s.lin_mu,
+                  s.robust, s.active)
+        if gbp._use_pallas(cfg):
+            from gbp_poplar_tpu.ops.sweep_kernel import sweep_edge_math_pallas
+            outs = sweep_edge_math_pallas(inputs, graph.k, cfg)
+        else:
+            outs = gbp.edge_math(*inputs, graph.k, cfg)
+        s = s._replace(msg_c_eta=outs[5], msg_c_lam=outs[6],
+                       msg_l_eta=outs[7], msg_l_lam=outs[8],
+                       cam_eta=s.cam_eta * (1 + 1e-30 * outs[5][0, 0]))
+        return s, None
+
+    gk = jax.jit(lambda s: jax.lax.scan(gk_body, s, None, length=k)[0])
+
+    def kr_body(s, _):
+        inputs = (bc0, bl0, graph.meas, graph.meas_var,
+                  s.f_eta_c, s.f_eta_l, s.f_lam_cc, s.f_lam_cl, s.f_lam_ll,
+                  s.msg_c_eta, s.msg_c_lam, s.msg_l_eta, s.msg_l_lam,
+                  s.damping, s.damping_count, s.mu, s.lin_mu,
+                  s.robust, s.active)
+        if gbp._use_pallas(cfg):
+            from gbp_poplar_tpu.ops.sweep_kernel import sweep_edge_math_pallas
+            outs = sweep_edge_math_pallas(inputs, graph.k, cfg)
+        else:
+            outs = gbp.edge_math(*inputs, graph.k, cfg)
+        s = s._replace(msg_c_eta=outs[5], msg_c_lam=outs[6],
+                       msg_l_eta=outs[7], msg_l_lam=outs[8])
+        return gbp.update_beliefs(s, graph), None
+
+    kr = jax.jit(lambda s: jax.lax.scan(kr_body, s, None, length=k)[0])
+
     for nm, fn in [("full", full), ("kernel", kernel),
-                   ("gather", gather), ("reduce", reduce)]:
-        print(f"  {nm:8s} {timed(fn, state, k):8.3f} ms/sweep", flush=True)
+                   ("gather", gather), ("reduce", reduce),
+                   ("gath+kern", gk), ("kern+red", kr)]:
+        print(f"  {nm:9s} {timed(fn, state, k):8.3f} ms/sweep", flush=True)
 
 
 if __name__ == "__main__":

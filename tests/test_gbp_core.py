@@ -11,7 +11,7 @@ from gbp_poplar_tpu.ops import planes as pl
 from gbp_poplar_tpu.utils import balio, flags as flags_lib
 
 
-def _dense_marginal(prob, state):
+def _dense_marginal(prob, state, graph):
     """Oracle: mean of the full joint Gaussian (priors + factor potentials).
 
     Unpacks the solver's plane-layout state into dense blocks first.
@@ -36,8 +36,10 @@ def _dense_marginal(prob, state):
         o = 6 * c_n + 3 * l
         lam[o:o+3, o:o+3] += lmk_prior_lam[l]
         eta[o:o+3] += lmk_prior_eta[l]
+    cam_idx = np.asarray(graph.cam_idx)
+    lmk_idx = np.asarray(graph.lmk_idx)
     for e in range(e_n):
-        c, l = int(prob.cam_idx[e]), int(prob.lmk_idx[e])
+        c, l = int(cam_idx[e]), int(lmk_idx[e])
         oc, ol = 6 * c, 6 * c_n + 3 * l
         lam[oc:oc+6, oc:oc+6] += f_lam_cc[e]
         lam[ol:ol+3, ol:ol+3] += f_lam_ll[e]
@@ -58,7 +60,7 @@ def test_tree_gbp_exact_marginal():
     fl = flags_lib.ba_flags(prob, 0)  # no annealing
     graph = build_graph(prob, cfg)
     state = gbp.initialise(init_state(prob, cfg, flags=fl), graph, cfg)
-    mu_exact = _dense_marginal(prob, state)
+    mu_exact = _dense_marginal(prob, state, graph)
 
     step = jax.jit(lambda s: gbp.gbp_sweep(s, graph, cfg))
     for _ in range(20):
@@ -137,7 +139,7 @@ def test_inactive_edges_send_zero_messages():
     # inactive variables' beliefs stay at their priors (compare over the
     # real edges; the rest of the padded edge axis is inert padding)
     e = prob.n_edges
-    touched_cams = np.unique(np.asarray(prob.cam_idx)[~inactive[:e]])
+    touched_cams = np.unique(np.asarray(graph.cam_idx)[:e][~inactive[:e]])
     untouched = np.setdiff1d(np.arange(prob.n_keyframes), touched_cams)
     np.testing.assert_allclose(
         np.asarray(state.cam_eta)[:, untouched],

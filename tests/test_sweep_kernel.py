@@ -25,7 +25,13 @@ def prob():
 
 
 def _sweep_pair(prob, **cfg_kw):
-    """One warmed-up sweep through the oracle and the kernel paths."""
+    """One warmed-up sweep through the oracle and the kernel paths.
+
+    pallas_fused is off unless requested: the UNFUSED kernel runs the
+    byte-identical reduction, so parity is bit-exact; the fused kernel's
+    in-kernel one-hot reduction changes fp32 summation order (tested
+    separately with a tolerance)."""
+    cfg_kw.setdefault("pallas_fused", False)
     cfg_x = GBPConfig(use_pallas=False, **cfg_kw)
     cfg_p = GBPConfig(use_pallas=KERNEL, **cfg_kw)
     g = build_graph(prob, cfg_x)
@@ -68,8 +74,21 @@ def test_sweep_kernel_parity_unaligned_edges(prob):
     _assert_state_close(s_x, s_p, atol=0.0 if not ON_TPU else 1e-4)
 
 
+def test_sweep_kernel_fused_parity(prob):
+    """The FULLY-FUSED kernel (in-kernel windowed one-hot gather +
+    reduction epilogue) matches the oracle up to fp32 summation order."""
+    s_x, s_p = _sweep_pair(prob, edge_pad_multiple=256,
+                           pallas_block_edges=256, pallas_fused=True)
+    for f in s_x._fields:
+        a = np.asarray(getattr(s_x, f)).astype(np.float64)
+        b = np.asarray(getattr(s_p, f)).astype(np.float64)
+        np.testing.assert_allclose(b, a, rtol=0, atol=2e-3 + 1e-4 *
+                                   np.abs(a).max(), err_msg=f)
+
+
 def test_sweep_kernel_short_solve(prob):
-    """A short solve through the kernel path converges like the oracle."""
+    """A short solve through the (fused) kernel path converges like the
+    oracle."""
     cfg_p = GBPConfig(use_pallas=KERNEL, edge_pad_multiple=256,
                       pallas_block_edges=256)
     cfg_x = GBPConfig(use_pallas=False, edge_pad_multiple=256,
