@@ -111,6 +111,13 @@ class GBPConfig:
     # TPU). Behind-camera points DO relinearise (Huber makes those factors
     # weak; a one-sided guard deadlocks runaway landmarks). <= 0 disables.
     min_depth: float = 0.05
+    # Allow relinearisation with the landmark BEHIND the camera (|z| guard
+    # instead of z > min_depth). Required for batch BA (the one-sided guard
+    # deadlocks runaway landmarks into unbounded residuals); the SLAM
+    # driver disables it — incremental insertion creates behind-camera
+    # transients whose Huber-weak but wrong-signed factors destabilise the
+    # handoff, and the drift-relin recapture already prevents the deadlock.
+    relin_behind_camera: bool = True
 
     # --- execution ---
     # Fuse the per-edge sweep body into one Pallas TPU kernel ("auto" =

@@ -51,6 +51,10 @@ class GBPGraph(NamedTuple):
     first_kf: jax.Array     # [L] int32 — first keyframe observing each
                             # landmark (n_keyframes if never observed); drives
                             # on-device SLAM keyframe insertion (core/slam.py)
+    first_uv: jax.Array     # [2, L] — pixel of each landmark's first
+                            # observation (0 if never observed); SLAM
+                            # insertion back-projects new landmarks along
+                            # this measured ray instead of the optic axis
     cam_onehot: jax.Array | None  # [E, C] float 0/1, or None. When present,
                             # the camera-side belief reduction is a dense
                             # matmul (MXU) instead of a scatter — ~2x faster
@@ -170,6 +174,17 @@ def build_graph(
     first_kf = np.full(problem.n_points, problem.n_keyframes, np.int32)
     np.minimum.at(first_kf, problem.lmk_idx.astype(np.int64),
                   problem.cam_idx.astype(np.int32))
+    # pixel of each landmark's first observation (first_kf is the MIN
+    # observing camera, so take the measurement of the (lmk, cam)-sorted
+    # first edge of each landmark)
+    lk = np.asarray(problem.lmk_idx)
+    srt = np.lexsort((np.asarray(problem.cam_idx), lk))
+    pos = np.minimum(np.searchsorted(lk[srt], np.arange(problem.n_points)),
+                     problem.n_edges - 1)
+    first_edge = srt[pos]
+    seen = np.bincount(lk, minlength=problem.n_points) > 0
+    first_uv = np.where(seen[:, None],
+                        np.asarray(problem.measurements)[first_edge], 0.0).T
     e, c = problem.n_edges, problem.n_keyframes
     e_pad = padded_n_edges(problem, cfg)
     pad = e_pad - e
@@ -212,6 +227,7 @@ def build_graph(
         cam_scaling=pr["cam_scaling"],
         lmk_scaling=pr["lmk_scaling"],
         first_kf=jnp.asarray(first_kf),
+        first_uv=jnp.asarray(first_uv, dtype),
         cam_onehot=cam_onehot,
         cam_blocked=cam_blocked,
         lmk_blocked=lmk_blocked,

@@ -355,7 +355,10 @@ def edge_math(
         # behind the camera and the edge's residual grows without bound.
         mu_rows = pl.unpack_vec(mu, 9)
         y_cf, _ = pl.w2c_apply(mu_rows[:6], mu_rows[6:])
-        relin = relin & (jnp.abs(y_cf[2]) > cfg.min_depth)
+        if cfg.relin_behind_camera:
+            relin = relin & (jnp.abs(y_cf[2]) > cfg.min_depth)
+        else:
+            relin = relin & (y_cf[2] > cfg.min_depth)
 
     f_eta_c = jnp.where(pl.row_mask(relin, 6), pot_eta_c, f_eta_c0)
     f_eta_l = jnp.where(pl.row_mask(relin, 3), pot_eta_l, f_eta_l0)
@@ -634,7 +637,9 @@ def reprojection_error(
     if axis_name is not None:
         n_active, sum_norm, cost = jax.lax.psum(
             (n_active, sum_norm, cost), axis_name)
-    mean_err = sum_norm / jnp.maximum(n_active, 1.0)
+    # no valid edge at all -> report NaN, not a deceptive 0.0
+    mean_err = jnp.where(n_active > 0,
+                         sum_norm / jnp.maximum(n_active, 1.0), jnp.nan)
     return mean_err, cost
 
 

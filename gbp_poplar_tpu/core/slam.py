@@ -72,19 +72,46 @@ def insert_keyframe(
     cam_prior_eta = state.cam_prior_eta.at[:, new_kf].set(
         new_cam_eta.astype(dtype))
 
-    # --- newly observed landmarks: prior mean at depth `av_depth` on the
-    # previous keyframe's optic axis (ba/util.cpp:198-211) ---
+    # --- newly observed landmarks: back-project along each landmark's
+    # first MEASURED pixel ray at the map's current depth. The reference
+    # drops every new landmark at a fixed --avdepth on the previous
+    # keyframe's OPTIC AXIS (ba/util.cpp:198-211), which needs per-sequence
+    # avdepth hand-tuning; using the measurement ray + the median depth of
+    # the established map is hand-tuning-free and starts each landmark with
+    # a near-zero reprojection residual on its first observation. ---
     new_lmk = graph.first_kf == new_kf                           # [L]
     r_prev = pl.so3_exp(mu_prev[3:6])
-    # world point of camera-frame (0, 0, av_depth): R^T (p_cam - t)
-    p_minus_t = [jnp.asarray(0.0, dtype) - mu_prev[0],
-                 jnp.asarray(0.0, dtype) - mu_prev[1],
-                 jnp.asarray(av_depth, dtype) - mu_prev[2]]
-    y_axis = pl.mat_t_vec(r_prev, p_minus_t)                     # 3 scalars
+
+    # adaptive depth: median z (previous keyframe's frame) of established
+    # landmarks; fall back to av_depth when none are valid
+    lmk_mu = pl.matvec(pl.inv_sym3(pl.unpack_sym(state.lmk_lam, 3)),
+                       pl.unpack_vec(state.lmk_eta, 3))          # 3 x (1,L)
+    z_est = (r_prev[2][0] * lmk_mu[0] + r_prev[2][1] * lmk_mu[1]
+             + r_prev[2][2] * lmk_mu[2] + mu_prev[2])
+    z_est = z_est.reshape(-1)                                    # [L]
+    valid = ((graph.first_kf < new_kf) & jnp.isfinite(z_est)
+             & (z_est > 0.1) & (z_est < 100.0))
+    if axis_name is None:
+        depth = jnp.nanmedian(jnp.where(valid, z_est, jnp.nan))
+    else:
+        # landmark axis may be sharded: use the psum'd masked mean instead
+        s, n = jax.lax.psum(
+            (jnp.sum(jnp.where(valid, z_est, 0.0)),
+             jnp.sum(valid.astype(dtype))), axis_name)
+        depth = s / jnp.maximum(n, 1.0)
+    depth = jnp.where(jnp.isfinite(depth) & (depth > 0.1), depth,
+                      jnp.asarray(av_depth, dtype))
+
+    # world point of the pixel ray at `depth`: y_w = R^T (d*K^-1 uv1 - t)
+    fx, fy = graph.k[0, 0], graph.k[1, 1]
+    cx, cy = graph.k[0, 2], graph.k[1, 2]
+    y_cam = [depth * (graph.first_uv[0] - cx) / fx,
+             depth * (graph.first_uv[1] - cy) / fy,
+             jnp.broadcast_to(depth, (graph.first_uv.shape[1],))]
+    p_minus_t = [y_cam[i] - mu_prev[i] for i in range(3)]
+    y_new = pl.mat_t_vec(r_prev, p_minus_t)                      # 3 x [L]
     lmk_prior_mat = pl.unpack_sym(state.lmk_prior_lam, 3)        # [L] planes
-    y_bcast = [jnp.broadcast_to(y_axis[i], (graph.n_points,))
-               for i in range(3)]
-    new_lmk_eta = pl.pack_vec(pl.matvec(lmk_prior_mat, y_bcast))  # [3, L]
+    new_lmk_eta = pl.pack_vec(pl.matvec(lmk_prior_mat, y_new))   # [3, L]
     lmk_prior_eta = jnp.where(new_lmk[None, :], new_lmk_eta,
                               state.lmk_prior_eta)
 

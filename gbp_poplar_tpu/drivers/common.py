@@ -87,6 +87,7 @@ def config_from_args(
     args,
     default_relin_drift: float = 0.05,
     default_lambda_damping: bool = False,
+    relin_behind_camera: bool = True,
 ) -> tuple[GBPConfig, InitConfig]:
     relin_drift = (default_relin_drift if args.relin_drift is None
                    else args.relin_drift)
@@ -94,6 +95,7 @@ def config_from_args(
                       else args.lambda_damping)
     gn_schedule = getattr(args, "schedule", "reference") == "gn"
     cfg = GBPConfig(
+        relin_behind_camera=relin_behind_camera,
         meas_var=args.reproj_meas_var,
         prior_std_weaker_factor=args.prior_std_weaker_factor,
         first_cam_prior_std=args.first_cam_prior_std,

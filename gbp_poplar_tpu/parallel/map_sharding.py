@@ -39,7 +39,7 @@ from .sharding import EDGE_AXIS, _EDGE_1D_FIELDS, _GRAPH_DROPPED_FIELDS
 # landmark-axis fields (sharded in map mode; trailing variable axis)
 _STATE_LMK_FIELDS = ("lmk_eta", "lmk_lam", "lmk_prior_eta", "lmk_prior_lam",
                      "lmk_weaken")
-_GRAPH_LMK_FIELDS = ("lmk_scaling", "first_kf")
+_GRAPH_LMK_FIELDS = ("lmk_scaling", "first_kf", "first_uv")
 _LMK_1D_FIELDS = frozenset({"lmk_weaken", "lmk_scaling", "first_kf"})
 
 
@@ -123,6 +123,7 @@ def partition_by_landmark(
     graph_fields["lmk_scaling"] = pad_lmk(graph.lmk_scaling, fill=1.0)
     graph_fields["first_kf"] = pad_lmk(graph.first_kf,
                                        fill=graph.n_keyframes)
+    graph_fields["first_uv"] = pad_lmk(graph.first_uv)
     graph = graph._replace(**graph_fields)
 
     state_fields = {}

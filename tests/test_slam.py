@@ -105,3 +105,22 @@ def test_slam_matches_batch_quality():
     # batch solve (it never revisits early linearisation decisions); within
     # half a pixel is the expected regime.
     assert abs(err_slam - err_batch) < 0.6, (err_slam, err_batch)
+
+
+def test_first_uv_matches_first_observation():
+    """graph.first_uv is the pixel of each landmark's first (lowest-kf)
+    observation — the ray SLAM insertion back-projects along."""
+    problem = _slam_problem()
+    cfg = GBPConfig()
+    graph = build_graph(problem, cfg)
+    ci = np.asarray(problem.cam_idx)
+    li = np.asarray(problem.lmk_idx)
+    meas = np.asarray(problem.measurements)
+    uv = np.asarray(graph.first_uv)
+    for l in range(problem.n_points):
+        m = li == l
+        if not m.any():
+            np.testing.assert_array_equal(uv[:, l], 0.0)
+            continue
+        first = np.flatnonzero(m)[np.argmin(ci[m])]
+        np.testing.assert_allclose(uv[:, l], meas[first], rtol=0, atol=1e-4)
