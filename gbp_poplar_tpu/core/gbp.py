@@ -552,7 +552,7 @@ def _gbp_sweep_fused(
     """One sweep through the fully-fused kernel: in-kernel windowed belief
     gather + edge math + reduction partials (ops/sweep_kernel.py); only the
     tiny window-partial combine and the prior add run as XLA ops."""
-    from ..ops.reduce_kernel import combine_partials
+    from ..ops.reduce_kernel import combine_grid
     from ..ops.sweep_kernel import sweep_fused_pallas
 
     c, l = graph.n_keyframes, graph.n_points
@@ -587,8 +587,8 @@ def _gbp_sweep_fused(
         mu=new_mu, lin_mu=lin_mu, robust=robust[0],
     )
 
-    cam_sum = combine_partials(cam_part, graph.cam_win, c)    # [27, C]
-    lmk_sum = combine_partials(lmk_part, graph.lmk_win, l)    # [9, L]
+    cam_sum = combine_grid(cam_part, graph.cam_win, c)        # [27, C]
+    lmk_sum = combine_grid(lmk_part, graph.lmk_win, l)        # [9, L]
     if axis_name is not None:
         if lmk_sharded:
             cam_sum = jax.lax.psum(cam_sum, axis_name)

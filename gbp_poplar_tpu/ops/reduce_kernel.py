@@ -44,18 +44,21 @@ class BlockedIndex(NamedTuple):
     """
 
     base: jax.Array       # [n_blocks] int32 — first variable id in block
-    combine_ids: jax.Array | None  # [n_blocks * W] int32 — variable id of
-                            # each partial (n_var for out-of-range slots);
-                            # None when the stride-structured combine applies
+                          # (always 128-aligned on the grid-cell path)
+    visited: jax.Array | None  # [n_cells] bool — grid cells covered by at
+                          # least one block's window (grid-cell combine and
+                          # the fused kernel's cell-keyed accumulation);
+                          # None on the stride path
     w: int                # distinct-variable capacity per block
     block_edges: int      # BE
     stride: int           # uniform base stride (structured combine), or 0
-    k: int                # w // stride when structured, else 0
+    k: int                # w // stride when structured; -1 marks
+                          # whole-table windows; else 0
 
 
 jax.tree_util.register_pytree_node(
     BlockedIndex,
-    lambda b: ((b.base, b.combine_ids), (b.w, b.block_edges, b.stride, b.k)),
+    lambda b: ((b.base, b.visited), (b.w, b.block_edges, b.stride, b.k)),
     lambda aux, leaves: BlockedIndex(leaves[0], leaves[1], *aux),
 )
 
@@ -63,6 +66,7 @@ jax.tree_util.register_pytree_node(
 def build_blocked_index(
     idx: np.ndarray, n_var: int, block_edges: int,
     n_edges_padded: int | None = None, max_span: int = 384,
+    grid_only: bool = False,
 ) -> BlockedIndex | None:
     """Build per-block bases if every block spans <= max_span variables.
 
@@ -92,7 +96,7 @@ def build_blocked_index(
     # i+k have adjacent disjoint windows (w = k*s), so the k interleaved
     # groups each TILE the variable axis and the combine is k shifted adds
     # — no scatter. Needs s with i*s <= lo_i and hi_i < i*s + w for all i.
-    if n_blocks > 1:
+    if n_blocks > 1 and not grid_only:
         s_max = int((lo[1:] // np.arange(1, n_blocks)).min())
         s = s_max // 128 * 128
         if s > 0:
@@ -102,7 +106,7 @@ def build_blocked_index(
                 w = k * s
                 base = (np.arange(n_blocks) * s).astype(np.int32)
                 return BlockedIndex(
-                    base=jnp.asarray(base), combine_ids=None, w=w,
+                    base=jnp.asarray(base), visited=None, w=w,
                     block_edges=block_edges, stride=s, k=k)
 
     # grid-cell combine (see blocked_reduce): bases are 128-aligned, so the
@@ -111,9 +115,12 @@ def build_blocked_index(
     base = (lo // 128 * 128).astype(np.int32)       # lane-aligned
     span = int((hi - base + 1).max())
     w = int(2 ** np.ceil(np.log2(max(span, 128))))  # pow2 >= 128
+    n_cells = -(-n_var // 128) + 1
+    visited = np.zeros((n_cells,), bool)
+    visited[np.minimum(base // 128, n_cells - 1)] = True
     return BlockedIndex(
         base=jnp.asarray(base),
-        combine_ids=None,
+        visited=jnp.asarray(visited),
         w=w,
         block_edges=block_edges,
         stride=0,
@@ -226,6 +233,24 @@ def combine_partials(
     return res[:, :n_var]
 
 
+def combine_grid(grid: jax.Array, bidx: BlockedIndex,
+                 n_var: int) -> jax.Array:
+    """Merge the fused kernel's cell-keyed window accumulations
+    [n_cells, comp, W] -> [comp, n_var] with W/128 static shifted adds
+    (cell c's window starts at variable c*128)."""
+    nc, comp, w = grid.shape
+    g = jnp.where(bidx.visited[:, None, None], grid, 0.0)
+    if bidx.k == -1:                         # whole-table window
+        return g[0, :, :n_var]
+    m = w // 128
+    gm = jnp.moveaxis(g, 0, 1)               # [comp, nc, w]
+    acc = jnp.zeros((comp, (nc + m) * 128), jnp.float32)
+    for j in range(m):
+        chunk = gm[:, :, j * 128:(j + 1) * 128].reshape(comp, nc * 128)
+        acc = acc.at[:, j * 128:j * 128 + nc * 128].add(chunk)
+    return acc[:, :n_var]
+
+
 def build_fused_window(
     idx: np.ndarray, n_var: int, block_edges: int,
     n_edges_padded: int | None = None,
@@ -240,20 +265,22 @@ def build_fused_window(
     over blocks); returns None when neither applies (the sweep then uses
     the unfused XLA gather + blocked/segment reduction)."""
     b = build_blocked_index(idx, n_var, block_edges,
-                            n_edges_padded=n_edges_padded, max_span=max_span)
-    if b is not None and b.stride == 0:
-        return b
+                            n_edges_padded=n_edges_padded, max_span=max_span,
+                            grid_only=True)
     if b is not None:
-        # stride-structured windows also work for the kernel (bases/w are
-        # what the DMA needs; the combine uses the stride path)
-        return b
+        # the fused kernel accumulates same-cell blocks in its OUTPUT refs,
+        # which requires every base value to occupy one contiguous run of
+        # grid steps — guaranteed by nondecreasing bases
+        if bool(np.all(np.diff(np.asarray(b.base)) >= 0)):
+            return b
     if n_var <= max_whole_table:
         e = len(idx)
         e_pad = n_edges_padded or e
         n_blocks = -(-e_pad // block_edges)
         w = int(2 ** np.ceil(np.log2(max(n_var, 128))))
         return BlockedIndex(
-            base=jnp.zeros((n_blocks,), jnp.int32), combine_ids=None,
+            base=jnp.zeros((n_blocks,), jnp.int32),
+            visited=jnp.ones((1,), bool),
             w=w, block_edges=block_edges, stride=0, k=-1)
     return None
 

@@ -229,15 +229,30 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int,
             o2 = o.reshape(r.shape[0], -1)
             r[...] = o2.astype(r.dtype)
             flat.append(o2)
-        # reduction epilogue: messages (already in registers) -> window
-        # partials via the same one-hots
+        # reduction epilogue: messages (already in registers) -> per-CELL
+        # window accumulations via the same one-hots. Output blocks are
+        # keyed by grid cell (base/128); consecutive grid steps that share
+        # a cell revisit the same output block, so the partial accumulates
+        # in VMEM and is written to HBM once per cell.
         msg_cam = jnp.concatenate([flat[5], flat[6]])          # [27, BE]
         msg_lmk = jnp.concatenate([flat[7], flat[8]])          # [9, BE]
         cam_part_ref, lmk_part_ref = refs[n_in + len(outs):]
-        cam_part_ref[...] = jax.lax.dot_general(
+        prev = jnp.maximum(i - 1, 0)
+        first_c = (i == 0) | (cam_base_ref[i] != cam_base_ref[prev])
+        first_l = (i == 0) | (lmk_base_ref[i] != lmk_base_ref[prev])
+
+        @plx.when(first_c)
+        def _():
+            cam_part_ref[...] = jnp.zeros_like(cam_part_ref)
+
+        @plx.when(first_l)
+        def _():
+            lmk_part_ref[...] = jnp.zeros_like(lmk_part_ref)
+
+        cam_part_ref[...] += jax.lax.dot_general(
             msg_cam, oh_c, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=hi)[None]
-        lmk_part_ref[...] = jax.lax.dot_general(
+        lmk_part_ref[...] += jax.lax.dot_general(
             msg_lmk, oh_l, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=hi)[None]
 
@@ -258,8 +273,9 @@ def sweep_fused_pallas(
 ):
     """Fused sweep. ``inputs`` = EDGE_MATH_INPUTS WITHOUT bc/bl; the belief
     tables are var-major lane-padded ([rows, 128], cols 0..26 / 0..8 used).
-    Returns (EDGE_MATH_OUTPUTS tuple, cam_partials [NB, 27, Wc],
-    lmk_partials [NB, 9, Wl]) — combine with reduce_kernel.combine_partials.
+    Returns (EDGE_MATH_OUTPUTS tuple, cam_grid [27, NC_c, Wc],
+    lmk_grid [9, NC_l, Wl]) — cell-keyed window accumulations; merge with
+    reduce_kernel.combine_grid.
     """
     e = inputs[-1].shape[-1]
     sub = 8
@@ -283,11 +299,13 @@ def sweep_fused_pallas(
     li = prep(lmk_idx)
     f = prepped[0].dtype
     dt = {"f": f, "i": jnp.int32, "u": jnp.uint8}
+    nc_c = cam_win.visited.shape[0]
+    nc_l = lmk_win.visited.shape[0]
     out_shapes = [jax.ShapeDtypeStruct((n, e_pad), dt[kind])
                   for (n, kind) in _OUT_LAYOUT]
     out_shapes += [
-        jax.ShapeDtypeStruct((nb, 27, cam_win.w), jnp.float32),
-        jax.ShapeDtypeStruct((nb, 9, lmk_win.w), jnp.float32),
+        jax.ShapeDtypeStruct((nc_c, 27, cam_win.w), jnp.float32),
+        jax.ShapeDtypeStruct((nc_l, 9, lmk_win.w), jnp.float32),
     ]
 
     def spec(shape):
@@ -304,10 +322,10 @@ def sweep_fused_pallas(
                   + [spec(x.shape) for x in prepped]),
         out_specs=([spec(s.shape) for s in out_shapes[:-2]]
                    + [plx.BlockSpec((1, 27, cam_win.w),
-                                    lambda i, *_: (i, 0, 0),
+                                    lambda i, cb, lb: (cb[i] // 128, 0, 0),
                                     memory_space=pltpu.VMEM),
                       plx.BlockSpec((1, 9, lmk_win.w),
-                                    lambda i, *_: (i, 0, 0),
+                                    lambda i, cb, lb: (lb[i] // 128, 0, 0),
                                     memory_space=pltpu.VMEM)]),
     )
 

@@ -57,8 +57,12 @@ def test_schur_step_matches_dense_solve():
         for j in range(l):
             o = 6 * c + 3 * j
             h[o:o + 3, o:o + 3] = m_l[j]
+        # per-edge arrays are in the graph's canonical (lmk, cam) edge
+        # order, not BAL file order
+        cam_idx = np.asarray(graph.cam_idx)
+        lmk_idx = np.asarray(graph.lmk_idx)
         for k in range(e):
-            ci, li = int(problem.cam_idx[k]), int(problem.lmk_idx[k])
+            ci, li = int(cam_idx[k]), int(lmk_idx[k])
             o_c, o_l = 6 * ci, 6 * c + 3 * li
             h[o_c:o_c + 6, o_l:o_l + 3] += w[k]
             h[o_l:o_l + 3, o_c:o_c + 6] += w[k].T

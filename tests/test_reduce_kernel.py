@@ -66,7 +66,7 @@ def test_blocked_reduce_structured_combine_path():
     e = len(idx)
     b = rk.build_blocked_index(idx, n_var, block_edges=1024,
                                n_edges_padded=e)
-    assert b is not None and b.combine_ids is None and b.k >= 1
+    assert b is not None and b.visited is None and b.k >= 1
     planes = rng.normal(0, 1, (3, e)).astype(np.float32)
     got = np.asarray(rk.blocked_reduce(
         jnp.asarray(planes), jnp.asarray(idx.astype(np.int32)), b, n_var,
