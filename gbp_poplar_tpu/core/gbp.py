@@ -930,18 +930,34 @@ def run_gbp(
     def chunk_body(carry, c):
         s, snap = carry
 
-        def inner(cr, j):
-            st, ac, al = cr
-            st, out = sweep_body(st, c * ce + j)
-            mc, ml = _variable_means(st)
-            ac = ac + jnp.nan_to_num(mc, nan=0.0, posinf=0.0, neginf=0.0)
-            al = al + jnp.nan_to_num(ml, nan=0.0, posinf=0.0, neginf=0.0)
-            return (st, ac, al), out
+        if with_diagnostics:
+            # chunk-AVERAGED means for the rate estimate (cancels edge
+            # oscillation; _variable_means is already computed per sweep by
+            # the diagnostics, so the accumulation fuses into it)
+            def inner(cr, j):
+                st, ac, al = cr
+                st, out = sweep_body(st, c * ce + j)
+                mc, ml = _variable_means(st)
+                ac = ac + jnp.nan_to_num(mc, nan=0.0, posinf=0.0,
+                                         neginf=0.0)
+                al = al + jnp.nan_to_num(ml, nan=0.0, posinf=0.0,
+                                         neginf=0.0)
+                return (st, ac, al), out
 
-        (s, ac, al), diag = jax.lax.scan(
-            inner, (s, jnp.zeros_like(snap0[0]), jnp.zeros_like(snap0[1])),
-            jnp.arange(ce))
-        avg = (ac / ce, al / ce)
+            (s, ac, al), diag = jax.lax.scan(
+                inner,
+                (s, jnp.zeros_like(snap0[0]), jnp.zeros_like(snap0[1])),
+                jnp.arange(ce))
+            avg = (ac / ce, al / ce)
+        else:
+            # hot path (no per-sweep diagnostics): endpoint means — saves
+            # the per-sweep accumulation ops; the accelerator's alignment
+            # gate + cost accept still guard a noisier estimate
+            s, diag = jax.lax.scan(
+                lambda st, j: sweep_body(st, c * ce + j), s, jnp.arange(ce))
+            mc, ml = _variable_means(s)
+            avg = (jnp.nan_to_num(mc, nan=0.0, posinf=0.0, neginf=0.0),
+                   jnp.nan_to_num(ml, nan=0.0, posinf=0.0, neginf=0.0))
         it_end = c * ce + ce + iter_offset
         s2, snap2 = _accel_step(s, snap, avg, graph, cfg, degs, axis_name,
                                 lmk_sharded)
