@@ -909,20 +909,54 @@ def run_gbp(
     with a fixed-point extrapolation step at each chunk boundary
     (``_accel_step``) — the hot per-sweep path is unchanged; all accelerator
     work happens once per chunk.
+
+    The masked prior-annealing step costs ~8 small ops per sweep, but
+    weaken flags are only ever SET at a solve's local iteration 0 (batch
+    init or SLAM insertion) and are provably exhausted after 2*steps
+    iterations; when ``iter_offset`` is a static int, annealing runs only
+    for that warmup and the remaining sweeps skip it entirely.
     """
 
-    def sweep_body(s, i):
-        s = iteration(s, graph, cfg, i + iter_offset, axis_name, lmk_sharded)
-        out = (diagnostics(s, graph, cfg, axis_name)
-               if with_diagnostics else None)
-        return s, out
+    def sweep_body(anneal):
+        def body(s, i):
+            if anneal:
+                s = iteration(s, graph, cfg, i + iter_offset, axis_name,
+                              lmk_sharded)
+            else:
+                s = gbp_sweep(s, graph, cfg, axis_name, lmk_sharded)
+            out = (diagnostics(s, graph, cfg, axis_name)
+                   if with_diagnostics else None)
+            return s, out
+        return body
+
+    warm = (n_iters if not isinstance(iter_offset, int)
+            else min(n_iters, max(0, 2 * cfg.steps - iter_offset)))
+    diag_parts = []
+    if warm:
+        state, dw = jax.lax.scan(sweep_body(True), state, jnp.arange(warm))
+        diag_parts.append(dw)
+    n2 = n_iters - warm
+    off2 = iter_offset + warm
+    hot = sweep_body(warm == n_iters)   # anneal stays on when offset traced
 
     ce = cfg.accel_every
-    if ce <= 0 or n_iters < 2 * ce:
-        return jax.lax.scan(sweep_body, state, jnp.arange(n_iters))
 
-    n_chunks = n_iters // ce
-    rem = n_iters - n_chunks * ce
+    def finish(diag_parts):
+        if not with_diagnostics:
+            return None
+        if len(diag_parts) == 1:
+            return diag_parts[0]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs), *diag_parts)
+
+    if n2 == 0:
+        return state, finish(diag_parts)
+    if ce <= 0 or n2 < 2 * ce:
+        state, dh = jax.lax.scan(hot, state, jnp.arange(warm, n_iters))
+        diag_parts.append(dh)
+        return state, finish(diag_parts)
+
+    n_chunks = n2 // ce
+    rem = n2 - n_chunks * ce
     cam_mu0, lmk_mu0 = _variable_means(state)
     snap0 = (cam_mu0, lmk_mu0, jnp.zeros_like(cam_mu0))
     degs = _active_degrees(state, graph, axis_name, lmk_sharded)
@@ -936,7 +970,7 @@ def run_gbp(
             # the diagnostics, so the accumulation fuses into it)
             def inner(cr, j):
                 st, ac, al = cr
-                st, out = sweep_body(st, c * ce + j)
+                st, out = hot(st, warm + c * ce + j)
                 mc, ml = _variable_means(st)
                 ac = ac + jnp.nan_to_num(mc, nan=0.0, posinf=0.0,
                                          neginf=0.0)
@@ -954,11 +988,11 @@ def run_gbp(
             # the per-sweep accumulation ops; the accelerator's alignment
             # gate + cost accept still guard a noisier estimate
             s, diag = jax.lax.scan(
-                lambda st, j: sweep_body(st, c * ce + j), s, jnp.arange(ce))
+                lambda st, j: hot(st, warm + c * ce + j), s, jnp.arange(ce))
             mc, ml = _variable_means(s)
             avg = (jnp.nan_to_num(mc, nan=0.0, posinf=0.0, neginf=0.0),
                    jnp.nan_to_num(ml, nan=0.0, posinf=0.0, neginf=0.0))
-        it_end = c * ce + ce + iter_offset
+        it_end = c * ce + ce + off2
         s2, snap2 = _accel_step(s, snap, avg, graph, cfg, degs, axis_name,
                                 lmk_sharded)
         if cfg.coarse_groups > 0:
@@ -974,14 +1008,14 @@ def run_gbp(
     if with_diagnostics:
         diag = jax.tree.map(
             lambda x: x.reshape((n_chunks * ce,) + x.shape[2:]), diag)
+        diag_parts.append(diag)
     if rem:
         state, diag_rem = jax.lax.scan(
-            lambda st, j: sweep_body(st, n_chunks * ce + j),
+            lambda st, j: hot(st, warm + n_chunks * ce + j),
             state, jnp.arange(rem))
         if with_diagnostics:
-            diag = jax.tree.map(
-                lambda a, b: jnp.concatenate([a, b]), diag, diag_rem)
-    return state, diag
+            diag_parts.append(diag_rem)
+    return state, finish(diag_parts)
 
 
 def solve(
