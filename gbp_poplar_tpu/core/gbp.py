@@ -545,6 +545,115 @@ def gbp_sweep(
     return update_beliefs(state, graph, axis_name, lmk_sharded)
 
 
+def _make_tables(
+    state: GBPState, graph: GBPGraph
+) -> tuple[jax.Array, jax.Array]:
+    """Beliefs in the fused kernel's var-major lane-padded table layout
+    ([rows, 128]; cols 0..26 = cam eta|packed Lambda, 0..8 for landmarks)."""
+    c, l = graph.n_keyframes, graph.n_points
+    cam_rows = _win_table_rows(graph.cam_win, c)
+    lmk_rows = _win_table_rows(graph.lmk_win, l)
+    cam_tbl = jnp.pad(jnp.concatenate([state.cam_eta, state.cam_lam]).T,
+                      [(0, cam_rows - c), (0, 101)])          # [rows, 128]
+    lmk_tbl = jnp.pad(jnp.concatenate([state.lmk_eta, state.lmk_lam]).T,
+                      [(0, lmk_rows - l), (0, 119)])
+    return cam_tbl, lmk_tbl
+
+
+def _prior_tables(
+    state: GBPState, graph: GBPGraph
+) -> tuple[jax.Array, jax.Array]:
+    """Priors in the same table layout (constant through an anneal-free
+    phase — computed once outside the table-carried hot scan)."""
+    c, l = graph.n_keyframes, graph.n_points
+    cam_rows = _win_table_rows(graph.cam_win, c)
+    lmk_rows = _win_table_rows(graph.lmk_win, l)
+    cp = jnp.pad(
+        jnp.concatenate([state.cam_prior_eta, state.cam_prior_lam]).T,
+        [(0, cam_rows - c), (0, 101)])
+    lp = jnp.pad(
+        jnp.concatenate([state.lmk_prior_eta, state.lmk_prior_lam]).T,
+        [(0, lmk_rows - l), (0, 119)])
+    return cp, lp
+
+
+def _beliefs_from_tables(
+    state: GBPState, graph: GBPGraph,
+    cam_tbl: jax.Array, lmk_tbl: jax.Array,
+) -> GBPState:
+    """Materialise plane-form beliefs from the carried tables (chunk
+    boundaries and scan exits of the table-carried hot loop)."""
+    c, l = graph.n_keyframes, graph.n_points
+    ct = cam_tbl[:c, :27].T
+    lt = lmk_tbl[:l, :9].T
+    return state._replace(cam_eta=ct[:6], cam_lam=ct[6:],
+                          lmk_eta=lt[:3], lmk_lam=lt[3:])
+
+
+def _table_carry_ok(graph: GBPGraph, cfg: GBPConfig,
+                    axis_name: str | None) -> bool:
+    """Table-carried hot sweeps (cfg.table_carry, default OFF — measured
+    net-slower on v5e, see config.py): single chip, fused kernel
+    available, and the var-major partial grids small enough that their
+    extra lane padding (window rows x 128 lanes) stays in the noise."""
+    if not cfg.table_carry:
+        return False
+    if axis_name is not None or graph.cam_win is None:
+        return False
+    if not (_use_pallas(cfg)
+            and (cfg.pallas_fused is True or cfg.pallas_fused == "auto")):
+        return False
+    grid_bytes = 4 * 128 * (
+        graph.cam_win.visited.shape[0] * graph.cam_win.w
+        + graph.lmk_win.visited.shape[0] * graph.lmk_win.w)
+    return grid_bytes <= 16 * 2**20
+
+
+def _gbp_sweep_tables(
+    state: GBPState, cam_tbl: jax.Array, lmk_tbl: jax.Array,
+    cam_prior_tbl: jax.Array, lmk_prior_tbl: jax.Array,
+    graph: GBPGraph, cfg: GBPConfig,
+) -> tuple[GBPState, jax.Array, jax.Array]:
+    """One sweep with beliefs carried as var-major TABLES: the fused kernel
+    reads the tables, its var-major epilogue emits window partials that
+    combine into the NEXT tables with only bitcast reshapes + W/128 shifted
+    adds + one prior add (~8 dispatched ops/sweep total vs ~25 for the
+    plane-form fused sweep — the dominant cost at TUM scale is per-op
+    sequencing, not math). Plane-form beliefs in the returned state are
+    STALE; callers materialise via ``_beliefs_from_tables`` when needed."""
+    from ..ops.reduce_kernel import combine_grid_var
+    from ..ops.sweep_kernel import sweep_fused_pallas
+
+    inputs = (graph.meas, graph.meas_var,
+              state.f_eta_c, state.f_eta_l, state.f_lam_cc,
+              state.f_lam_cl, state.f_lam_ll,
+              state.msg_c_eta, state.msg_c_lam,
+              state.msg_l_eta, state.msg_l_lam,
+              state.damping, state.damping_count, state.mu, state.lin_mu,
+              state.robust, state.active)
+    outs, cam_part, lmk_part = sweep_fused_pallas(
+        inputs, cam_tbl, lmk_tbl, graph.cam_idx, graph.lmk_idx,
+        graph.cam_win, graph.lmk_win, graph.k, cfg,
+        interpret=cfg.use_pallas == "interpret", var_major=True)
+
+    (f_eta_c, f_eta_l, f_lam_cc, f_lam_cl, f_lam_ll,
+     msg_c_eta, msg_c_lam, msg_l_eta, msg_l_lam,
+     damping, damping_count, new_mu, lin_mu, robust) = outs
+    state = state._replace(
+        f_eta_c=f_eta_c, f_eta_l=f_eta_l, f_lam_cc=f_lam_cc,
+        f_lam_cl=f_lam_cl, f_lam_ll=f_lam_ll,
+        msg_c_eta=msg_c_eta, msg_c_lam=msg_c_lam,
+        msg_l_eta=msg_l_eta, msg_l_lam=msg_l_lam,
+        damping=damping[0], damping_count=damping_count[0],
+        mu=new_mu, lin_mu=lin_mu, robust=robust[0],
+    )
+    cam_tbl = combine_grid_var(cam_part, graph.cam_win,
+                               cam_prior_tbl.shape[0]) + cam_prior_tbl
+    lmk_tbl = combine_grid_var(lmk_part, graph.lmk_win,
+                               lmk_prior_tbl.shape[0]) + lmk_prior_tbl
+    return state, cam_tbl, lmk_tbl
+
+
 def _gbp_sweep_fused(
     state: GBPState, graph: GBPGraph, cfg: GBPConfig,
     axis_name: str | None, lmk_sharded: bool,
@@ -556,12 +665,7 @@ def _gbp_sweep_fused(
     from ..ops.sweep_kernel import sweep_fused_pallas
 
     c, l = graph.n_keyframes, graph.n_points
-    cam_rows = _win_table_rows(graph.cam_win, c)
-    lmk_rows = _win_table_rows(graph.lmk_win, l)
-    cam_tbl = jnp.pad(jnp.concatenate([state.cam_eta, state.cam_lam]).T,
-                      [(0, cam_rows - c), (0, 101)])          # [rows, 128]
-    lmk_tbl = jnp.pad(jnp.concatenate([state.lmk_eta, state.lmk_lam]).T,
-                      [(0, lmk_rows - l), (0, 119)])
+    cam_tbl, lmk_tbl = _make_tables(state, graph)
 
     inputs = (graph.meas, graph.meas_var,
               state.f_eta_c, state.f_eta_l, state.f_lam_cc,
@@ -937,7 +1041,58 @@ def run_gbp(
         diag_parts.append(dw)
     n2 = n_iters - warm
     off2 = iter_offset + warm
-    hot = sweep_body(warm == n_iters)   # anneal stays on when offset traced
+    # Hot sweeps are only reached with a STATIC iter_offset (a traced
+    # offset forces warm == n_iters and the early return below), so every
+    # hot sweep is anneal-free.
+    table_mode = _table_carry_ok(graph, cfg, axis_name)
+    if table_mode:
+        prior_tbls = _prior_tables(state, graph)
+
+    def hot_scan(s, n, collect_means):
+        """``n`` anneal-free sweeps. Returns (state, diag, chunk-summed
+        means or None). In table mode beliefs ride as var-major tables and
+        plane beliefs only materialise when diagnostics/means need them —
+        and once at scan exit."""
+        zero_means = (jnp.zeros((6, graph.n_keyframes), s.cam_eta.dtype),
+                      jnp.zeros((3, graph.n_points), s.cam_eta.dtype))
+
+        def accum(ac, al, st):
+            mc, ml = _variable_means(st)
+            ac = ac + jnp.nan_to_num(mc, nan=0.0, posinf=0.0, neginf=0.0)
+            al = al + jnp.nan_to_num(ml, nan=0.0, posinf=0.0, neginf=0.0)
+            return ac, al
+
+        if table_mode:
+            tbls = _make_tables(s, graph)
+
+            def body(carry, _):
+                st, ct, lt, ac, al = carry
+                st, ct, lt = _gbp_sweep_tables(st, ct, lt, *prior_tbls,
+                                               graph, cfg)
+                if with_diagnostics or collect_means:
+                    st = _beliefs_from_tables(st, graph, ct, lt)
+                out = (diagnostics(st, graph, cfg, axis_name)
+                       if with_diagnostics else None)
+                if collect_means:
+                    ac, al = accum(ac, al, st)
+                return (st, ct, lt, ac, al), out
+
+            (s, ct, lt, ac, al), diag = jax.lax.scan(
+                body, (s, *tbls, *zero_means), None, length=n)
+            s = _beliefs_from_tables(s, graph, ct, lt)
+        else:
+            def body(carry, _):
+                st, ac, al = carry
+                st = gbp_sweep(st, graph, cfg, axis_name, lmk_sharded)
+                out = (diagnostics(st, graph, cfg, axis_name)
+                       if with_diagnostics else None)
+                if collect_means:
+                    ac, al = accum(ac, al, st)
+                return (st, ac, al), out
+
+            (s, ac, al), diag = jax.lax.scan(
+                body, (s, *zero_means), None, length=n)
+        return s, diag, ((ac, al) if collect_means else None)
 
     ce = cfg.accel_every
 
@@ -951,7 +1106,7 @@ def run_gbp(
     if n2 == 0:
         return state, finish(diag_parts)
     if ce <= 0 or n2 < 2 * ce:
-        state, dh = jax.lax.scan(hot, state, jnp.arange(warm, n_iters))
+        state, dh, _ = hot_scan(state, n2, False)
         diag_parts.append(dh)
         return state, finish(diag_parts)
 
@@ -964,31 +1119,14 @@ def run_gbp(
     def chunk_body(carry, c):
         s, snap = carry
 
-        if with_diagnostics:
-            # chunk-AVERAGED means for the rate estimate (cancels edge
-            # oscillation; _variable_means is already computed per sweep by
-            # the diagnostics, so the accumulation fuses into it)
-            def inner(cr, j):
-                st, ac, al = cr
-                st, out = hot(st, warm + c * ce + j)
-                mc, ml = _variable_means(st)
-                ac = ac + jnp.nan_to_num(mc, nan=0.0, posinf=0.0,
-                                         neginf=0.0)
-                al = al + jnp.nan_to_num(ml, nan=0.0, posinf=0.0,
-                                         neginf=0.0)
-                return (st, ac, al), out
-
-            (s, ac, al), diag = jax.lax.scan(
-                inner,
-                (s, jnp.zeros_like(snap0[0]), jnp.zeros_like(snap0[1])),
-                jnp.arange(ce))
-            avg = (ac / ce, al / ce)
+        # Chunk-AVERAGED means for the rate estimate (cancels edge
+        # oscillation) when diagnostics already pay for per-sweep means;
+        # endpoint means on the hot path (the accelerator's alignment gate
+        # + cost accept still guard the noisier estimate).
+        s, diag, sums = hot_scan(s, ce, with_diagnostics)
+        if sums is not None:
+            avg = (sums[0] / ce, sums[1] / ce)
         else:
-            # hot path (no per-sweep diagnostics): endpoint means — saves
-            # the per-sweep accumulation ops; the accelerator's alignment
-            # gate + cost accept still guard a noisier estimate
-            s, diag = jax.lax.scan(
-                lambda st, j: hot(st, warm + c * ce + j), s, jnp.arange(ce))
             mc, ml = _variable_means(s)
             avg = (jnp.nan_to_num(mc, nan=0.0, posinf=0.0, neginf=0.0),
                    jnp.nan_to_num(ml, nan=0.0, posinf=0.0, neginf=0.0))
@@ -1010,9 +1148,7 @@ def run_gbp(
             lambda x: x.reshape((n_chunks * ce,) + x.shape[2:]), diag)
         diag_parts.append(diag)
     if rem:
-        state, diag_rem = jax.lax.scan(
-            lambda st, j: hot(st, warm + n_chunks * ce + j),
-            state, jnp.arange(rem))
+        state, diag_rem, _ = hot_scan(state, rem, False)
         if with_diagnostics:
             diag_parts.append(diag_rem)
     return state, finish(diag_parts)

@@ -251,6 +251,29 @@ def combine_grid(grid: jax.Array, bidx: BlockedIndex,
     return acc[:, :n_var]
 
 
+def combine_grid_var(grid: jax.Array, bidx: BlockedIndex,
+                     rows: int) -> jax.Array:
+    """Merge VAR-MAJOR cell-keyed window accumulations [n_cells, W, 128]
+    (the fused kernel's ``var_major`` epilogue) into a [rows, 128] belief
+    TABLE sum — the layout the next sweep's window DMA reads directly.
+
+    Same overlap-add as ``combine_grid``, but because the variable axis is
+    MAJOR every reshape here merges leading dims, which XLA lowers to
+    bitcasts — the lane-axis relayout copies that dominate the plane-major
+    combine at small problem sizes disappear (~10 dispatched ops/sweep).
+    """
+    nc, w, lanes = grid.shape
+    g = jnp.where(bidx.visited[:, None, None], grid, 0.0)
+    if bidx.k == -1:                         # whole-table window
+        return g[0, :rows]
+    m = w // 128
+    acc = jnp.zeros(((nc + m) * 128, lanes), jnp.float32)
+    for j in range(m):
+        chunk = g[:, j * 128:(j + 1) * 128, :].reshape(nc * 128, lanes)
+        acc = acc.at[j * 128:j * 128 + nc * 128].add(chunk)
+    return acc[:rows]
+
+
 def build_fused_window(
     idx: np.ndarray, n_var: int, block_edges: int,
     n_edges_padded: int | None = None,

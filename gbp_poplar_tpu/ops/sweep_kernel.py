@@ -151,6 +151,14 @@ def sweep_edge_math_pallas(inputs: tuple, k: jax.Array, cfg: GBPConfig,
         out_shape=out_shapes,
         cost_estimate=cost,
         interpret=interpret,
+        # The 14 state outputs overwrite their input buffers in place
+        # (same shape/dtype, block i reads/writes block i): without this
+        # XLA inserts a copy per carried array per sweep to write the
+        # custom-call results back into the while-loop carry buffers
+        # (~6 MB + 13 op dispatches per sweep at TUM scale). Input index
+        # counts ALL call operands; the state arrays start after
+        # (k, bc, bl, meas, meas_var).
+        input_output_aliases={5 + i: i for i in range(14)},
     )(k, *prepped)
 
     outs = list(outs)
@@ -178,7 +186,7 @@ def _round_up(x: int, m: int) -> int:
 # gather microbenches at ~0.3 ms).
 # ---------------------------------------------------------------------------
 
-def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int,
+def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
                   cam_base_ref, lmk_base_ref,
                   k_ref, cam_idx_ref, lmk_idx_ref, cam_tbl_ref, lmk_tbl_ref,
                   *refs):
@@ -249,12 +257,32 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int,
         def _():
             lmk_part_ref[...] = jnp.zeros_like(lmk_part_ref)
 
-        cam_part_ref[...] += jax.lax.dot_general(
-            msg_cam, oh_c, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=hi)[None]
-        lmk_part_ref[...] += jax.lax.dot_general(
-            msg_lmk, oh_l, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=hi)[None]
+        if var_major:
+            # var-major partials [W, 128]: the XLA-side combine then only
+            # merges MAJOR dims (bitcasts, no relayout copies) and the new
+            # belief TABLE comes out directly — the hot loop never
+            # materialises plane-form beliefs. Messages are zero-padded to
+            # the 128-lane width; the MXU tile count is identical (27 and
+            # 128 both round up to one 128-row tile).
+            mc_pad = jnp.concatenate(
+                [msg_cam, jnp.zeros((128 - msg_cam.shape[0], be),
+                                    jnp.float32)])
+            ml_pad = jnp.concatenate(
+                [msg_lmk, jnp.zeros((128 - msg_lmk.shape[0], be),
+                                    jnp.float32)])
+            cam_part_ref[...] += jax.lax.dot_general(
+                oh_c, mc_pad, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi)[None]
+            lmk_part_ref[...] += jax.lax.dot_general(
+                oh_l, ml_pad, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi)[None]
+        else:
+            cam_part_ref[...] += jax.lax.dot_general(
+                msg_cam, oh_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi)[None]
+            lmk_part_ref[...] += jax.lax.dot_general(
+                msg_lmk, oh_l, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi)[None]
 
     plx.run_scoped(
         inner,
@@ -269,13 +297,17 @@ def sweep_fused_pallas(
     inputs: tuple, cam_tbl: jax.Array, lmk_tbl: jax.Array,
     cam_idx: jax.Array, lmk_idx: jax.Array,
     cam_win, lmk_win, k: jax.Array, cfg: GBPConfig,
-    interpret: bool = False,
+    interpret: bool = False, var_major: bool = False,
 ):
     """Fused sweep. ``inputs`` = EDGE_MATH_INPUTS WITHOUT bc/bl; the belief
     tables are var-major lane-padded ([rows, 128], cols 0..26 / 0..8 used).
-    Returns (EDGE_MATH_OUTPUTS tuple, cam_grid [27, NC_c, Wc],
-    lmk_grid [9, NC_l, Wl]) — cell-keyed window accumulations; merge with
-    reduce_kernel.combine_grid.
+    Returns (EDGE_MATH_OUTPUTS tuple, cam_grid [NC_c, 27, Wc],
+    lmk_grid [NC_l, 9, Wl]) — cell-keyed window accumulations; merge with
+    reduce_kernel.combine_grid. With ``var_major`` the grids come back
+    transposed and lane-padded ([NC, W, 128]) for the table-carried hot
+    loop (reduce_kernel.combine_grid_var) — combine reshapes then merge
+    only major dims, which XLA lowers to bitcasts instead of relayout
+    copies.
     """
     e = inputs[-1].shape[-1]
     sub = 8
@@ -303,10 +335,16 @@ def sweep_fused_pallas(
     nc_l = lmk_win.visited.shape[0]
     out_shapes = [jax.ShapeDtypeStruct((n, e_pad), dt[kind])
                   for (n, kind) in _OUT_LAYOUT]
-    out_shapes += [
-        jax.ShapeDtypeStruct((nc_c, 27, cam_win.w), jnp.float32),
-        jax.ShapeDtypeStruct((nc_l, 9, lmk_win.w), jnp.float32),
-    ]
+    if var_major:
+        out_shapes += [
+            jax.ShapeDtypeStruct((nc_c, cam_win.w, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nc_l, lmk_win.w, 128), jnp.float32),
+        ]
+    else:
+        out_shapes += [
+            jax.ShapeDtypeStruct((nc_c, 27, cam_win.w), jnp.float32),
+            jax.ShapeDtypeStruct((nc_l, 9, lmk_win.w), jnp.float32),
+        ]
 
     def spec(shape):
         return plx.BlockSpec((shape[0], be), lambda i, *_: (0, i),
@@ -321,10 +359,10 @@ def sweep_fused_pallas(
                    plx.BlockSpec(memory_space=pltpu.ANY)]     # lmk table
                   + [spec(x.shape) for x in prepped]),
         out_specs=([spec(s.shape) for s in out_shapes[:-2]]
-                   + [plx.BlockSpec((1, 27, cam_win.w),
+                   + [plx.BlockSpec((1,) + out_shapes[-2].shape[1:],
                                     lambda i, cb, lb: (cb[i] // 128, 0, 0),
                                     memory_space=pltpu.VMEM),
-                      plx.BlockSpec((1, 9, lmk_win.w),
+                      plx.BlockSpec((1,) + out_shapes[-1].shape[1:],
                                     lambda i, cb, lb: (lb[i] // 128, 0, 0),
                                     memory_space=pltpu.VMEM)]),
     )
@@ -338,11 +376,17 @@ def sweep_fused_pallas(
     )
 
     outs = plx.pallas_call(
-        functools.partial(_fused_kernel, cfg, sub, cam_win.w, lmk_win.w),
+        functools.partial(_fused_kernel, cfg, sub, cam_win.w, lmk_win.w,
+                          var_major),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         cost_estimate=cost,
         interpret=interpret,
+        # In-place update of the 14 per-edge state arrays (see
+        # sweep_edge_math_pallas): kills the per-sweep result->carry
+        # copies in the solver's scan. Operand indices include the two
+        # scalar-prefetch arrays and (k, ci, li, cam_tbl, lmk_tbl).
+        input_output_aliases={9 + i: i for i in range(14)},
     )(cam_win.base, lmk_win.base, k, ci, li, cam_tbl, lmk_tbl, *prepped)
 
     outs = list(outs)

@@ -1,6 +1,11 @@
-"""Canonical sweep-time measurement (chained scan, K=200, min of 3).
+"""Canonical sweep-time measurement (chained scan, K=2000, min of 3).
 
     python scripts/bench_sweep.py [fr1xyz|fr2robot2|ladybug] ...
+
+K must be large: one dispatch through the axon tunnel costs a fixed
+~25-35 ms of host/tunnel latency on top of the device time, so a K=200
+chain over-reports per-sweep time by ~0.15 ms. For per-op truth, take a
+jax.profiler perfetto trace and read the while-loop duration.
 """
 
 import os
@@ -44,9 +49,9 @@ def main():
     cfg = GBPConfig()
     for n in names:
         if n == "ladybug":
-            bench(balio.synthetic_problem_large(1723, 156000, 7), n, cfg, 50)
+            bench(balio.synthetic_problem_large(1723, 156000, 7), n, cfg, 100)
         else:
-            bench(balio.load_bal(n), n, cfg, 200)
+            bench(balio.load_bal(n), n, cfg, 2000)
 
 
 if __name__ == "__main__":

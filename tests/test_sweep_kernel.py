@@ -103,3 +103,62 @@ def test_sweep_kernel_short_solve(prob):
     # same trajectory up to fp32 fusion-order noise
     np.testing.assert_allclose(e_p[-1], e_x[-1], rtol=1e-2)
     assert e_p[-1] < e_p[0]
+
+
+@pytest.fixture(scope="module")
+def prob_grid():
+    """Enough landmarks that the fused windows use the GRID path (cell-keyed
+    window accumulation), not whole-table windows."""
+    return balio.synthetic_problem_large(n_keyframes=24, n_points=2000,
+                                         obs_per_lmk=4, seed=7,
+                                         pixel_noise=0.5)
+
+
+@pytest.mark.parametrize("which", ["whole_table", "grid"])
+def test_sweep_tables_matches_fused(prob, prob_grid, which):
+    """The table-carried sweep (var-major kernel epilogue +
+    combine_grid_var) computes the same beliefs as the plane-form fused
+    sweep — same contraction per output element, transposed emit order."""
+    p = prob if which == "whole_table" else prob_grid
+    cfg = GBPConfig(use_pallas=KERNEL, edge_pad_multiple=256,
+                    pallas_block_edges=256, pallas_fused=True)
+    g = build_graph(p, cfg)
+    if which == "grid":
+        assert g.lmk_win is not None and g.lmk_win.k != -1
+    s0 = init_state(p, cfg)
+    s0 = jax.jit(lambda s: gbp.initialise(s, g, cfg))(s0)
+    for _ in range(2):
+        s0 = jax.jit(lambda s: gbp.gbp_sweep(s, g, cfg))(s0)
+    s_f = jax.jit(lambda s: gbp.gbp_sweep(s, g, cfg))(s0)
+
+    def tbl_step(s):
+        tbls = gbp._make_tables(s, g)
+        ptbls = gbp._prior_tables(s, g)
+        s, ct, lt = gbp._gbp_sweep_tables(s, *tbls, *ptbls, g, cfg)
+        return gbp._beliefs_from_tables(s, g, ct, lt)
+
+    s_t = jax.jit(tbl_step)(s0)
+    atol = 0.0 if not ON_TPU else 1e-5
+    for f in s_f._fields:
+        a, b = np.asarray(getattr(s_f, f)), np.asarray(getattr(s_t, f))
+        np.testing.assert_allclose(b, a, rtol=0, atol=atol, err_msg=f)
+
+
+def test_table_carried_solve_matches_oracle(prob):
+    """run_gbp's hot phase switches to the table-carried scan when
+    cfg.table_carry is on; the solve trajectory must match the pure-XLA
+    oracle up to fp32 summation order."""
+    cfg_p = GBPConfig(use_pallas=KERNEL, edge_pad_multiple=256,
+                      pallas_block_edges=256, table_carry=True)
+    cfg_x = GBPConfig(use_pallas=False, edge_pad_multiple=256,
+                      pallas_block_edges=256)
+    g = build_graph(prob, cfg_x)
+    assert gbp._table_carry_ok(g, cfg_p, None)
+    s0 = init_state(prob, cfg_x)
+    _, d_x = jax.jit(lambda s: gbp.solve(s, g, cfg_x, n_iters=60))(s0)
+    _, d_p = jax.jit(lambda s: gbp.solve(s, g, cfg_p, n_iters=60))(s0)
+    e_x = np.asarray(d_x.reproj_err)
+    e_p = np.asarray(d_p.reproj_err)
+    assert np.isfinite(e_p).all()
+    np.testing.assert_allclose(e_p[-1], e_x[-1], rtol=1e-2)
+    assert e_p[-1] < e_p[0]
