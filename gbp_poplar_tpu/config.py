@@ -118,6 +118,17 @@ class GBPConfig:
     # transients whose Huber-weak but wrong-signed factors destabilise the
     # handoff, and the drift-relin recapture already prevents the deadlock.
     relin_behind_camera: bool = True
+    # Time-gated escape hatch for the one-sided guard: edges whose
+    # damping_count exceeds this ALSO relinearise behind the camera.
+    # damping_count restarts at every keyframe insertion (core/slam.py),
+    # so the gate reads "no insertion in the last N sweeps" — fresh
+    # handoff transients stay protected while landmarks that settled
+    # behind a camera (the one-sided guard's deadlock: stale potential
+    # pins them there with unbounded residual) get recaptured late in
+    # each segment. Measured on fr1xyz SLAM at 700 it/kf: the end-state
+    # error is dominated by ~3 such landmarks (edges at 300-1500 px,
+    # z in [-0.03, -0.8]); <= 0 disables.
+    behind_camera_rescue_iters: int = 0
 
     # --- execution ---
     # Fuse the per-edge sweep body into one Pallas TPU kernel ("auto" =

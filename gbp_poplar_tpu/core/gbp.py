@@ -358,7 +358,15 @@ def edge_math(
         if cfg.relin_behind_camera:
             relin = relin & (jnp.abs(y_cf[2]) > cfg.min_depth)
         else:
-            relin = relin & (y_cf[2] > cfg.min_depth)
+            ok_depth = y_cf[2] > cfg.min_depth
+            if cfg.behind_camera_rescue_iters > 0:
+                # settled edges (no keyframe insertion for N sweeps —
+                # damping_count restarts at insertion) escape the
+                # one-sided guard's behind-camera deadlock
+                settled = damping_count > cfg.behind_camera_rescue_iters
+                ok_depth = ok_depth | (
+                    settled & (jnp.abs(y_cf[2]) > cfg.min_depth))
+            relin = relin & ok_depth
 
     f_eta_c = jnp.where(pl.row_mask(relin, 6), pot_eta_c, f_eta_c0)
     f_eta_l = jnp.where(pl.row_mask(relin, 3), pot_eta_l, f_eta_l0)

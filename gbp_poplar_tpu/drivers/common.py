@@ -74,6 +74,12 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "reference damps only eta)")
     p.add_argument("--no_lambda_damping", dest="lambda_damping",
                    action="store_false")
+    p.add_argument("--rescue_iters", type=int, default=None,
+                   help="with the incremental one-sided depth guard, edges "
+                        "settled this many sweeps past the last keyframe "
+                        "insertion may relinearise behind the camera "
+                        "(recaptures deadlocked runaway landmarks; "
+                        "<=0 disables)")
     p.add_argument("--schedule", choices=["reference", "gn"],
                    default="reference",
                    help="'reference' = the IPU reference's lazy-"
@@ -88,14 +94,19 @@ def config_from_args(
     default_relin_drift: float = 0.05,
     default_lambda_damping: bool = False,
     relin_behind_camera: bool = True,
+    default_rescue_iters: int = 0,
 ) -> tuple[GBPConfig, InitConfig]:
     relin_drift = (default_relin_drift if args.relin_drift is None
                    else args.relin_drift)
     lambda_damping = (default_lambda_damping if args.lambda_damping is None
                       else args.lambda_damping)
+    rescue = (default_rescue_iters
+              if getattr(args, "rescue_iters", None) is None
+              else args.rescue_iters)
     gn_schedule = getattr(args, "schedule", "reference") == "gn"
     cfg = GBPConfig(
         relin_behind_camera=relin_behind_camera,
+        behind_camera_rescue_iters=rescue,
         meas_var=args.reproj_meas_var,
         prior_std_weaker_factor=args.prior_std_weaker_factor,
         first_cam_prior_std=args.first_cam_prior_std,

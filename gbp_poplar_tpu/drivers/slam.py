@@ -121,9 +121,13 @@ def main(argv=None) -> int:
     # Incremental insertion creates behind-camera transients; relinearising
     # them (the batch-BA default) destabilises the handoff — keep the
     # one-sided depth guard here (see config.relin_behind_camera).
+    # rescue_iters: settled edges escape the one-sided guard late in each
+    # segment — recaptures landmarks deadlocked behind a camera (fr1xyz
+    # end-state was 2.6 px with ~3 such runaways, ~1.6 px rescued) while
+    # fresh insertion transients stay protected.
     cfg, init_cfg = common.config_from_args(
         args, default_relin_drift=0.05, default_lambda_damping=True,
-        relin_behind_camera=False)
+        relin_behind_camera=False, default_rescue_iters=300)
 
     problem = balio.load_bal(args.bal_file)
     problem = priors.apply_init_noise(problem, init_cfg,

@@ -186,6 +186,32 @@ def _round_up(x: int, m: int) -> int:
 # gather microbenches at ~0.3 ms).
 # ---------------------------------------------------------------------------
 
+def _dot3(v, oh, dims, oh_first=False):
+    """Exact f32 contraction against a ONE-HOT operand in 3 MXU passes.
+
+    ``Precision.HIGHEST`` decomposes BOTH f32 operands into 3 bf16 terms
+    (6 significant passes) — but a one-hot matrix is exact in bf16, so
+    splitting only the value operand (v = hi + mid + lo, 8 mantissa bits
+    per term = f32's 24) gives the same result in 3 single-pass dots.
+    Measured: the HIGHEST gather/reduce passes were >50% of the fused
+    kernel at 1M edges (6.75 -> 3.21 ms/sweep with naive bf16); this
+    recovers half of that with no accuracy loss (one-hot gathers stay
+    value-exact; reduction partials differ from HIGHEST only at the f32
+    ulp of the lo term).
+    """
+    hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+    r = v - hi
+    mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = r - mid
+    acc = None
+    for part in (hi, mid, lo):
+        ops = (oh, part) if oh_first else (part, oh)
+        d = jax.lax.dot_general(*ops, dims,
+                                preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    return acc
+
+
 def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
                   cam_base_ref, lmk_base_ref,
                   k_ref, cam_idx_ref, lmk_idx_ref, cam_tbl_ref, lmk_tbl_ref,
@@ -208,7 +234,6 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
         dma_c.wait()
         dma_l.wait()
 
-        hi = jax.lax.Precision.HIGHEST
         oh_c = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (wc, be), 0) + c0
             == cam_idx_ref[...], 1.0, 0.0).astype(jnp.float32)
@@ -216,13 +241,10 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
             jax.lax.broadcasted_iota(jnp.int32, (wl, be), 0) + l0
             == lmk_idx_ref[...], 1.0, 0.0).astype(jnp.float32)
         # gather: [W, 32] window x [W, BE] one-hot -> [32, BE] (exact: each
-        # output column is a single product value * 1.0)
-        bc = jax.lax.dot_general(cwin[:, :32], oh_c, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=hi)[:27]
-        bl = jax.lax.dot_general(lwin[:, :32], oh_l, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=hi)[:9]
+        # output column is a single product value * 1.0; _dot3 keeps the
+        # value f32-exact at half of HIGHEST's MXU passes)
+        bc = _dot3(cwin[:, :32], oh_c, (((0,), (0,)), ((), ())))[:27]
+        bl = _dot3(lwin[:, :32], oh_l, (((0,), (0,)), ((), ())))[:9]
 
         def brick(x):
             comp, n = x.shape
@@ -270,19 +292,15 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
             ml_pad = jnp.concatenate(
                 [msg_lmk, jnp.zeros((128 - msg_lmk.shape[0], be),
                                     jnp.float32)])
-            cam_part_ref[...] += jax.lax.dot_general(
-                oh_c, mc_pad, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=hi)[None]
-            lmk_part_ref[...] += jax.lax.dot_general(
-                oh_l, ml_pad, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=hi)[None]
+            cam_part_ref[...] += _dot3(
+                mc_pad, oh_c, (((1,), (1,)), ((), ())), oh_first=True)[None]
+            lmk_part_ref[...] += _dot3(
+                ml_pad, oh_l, (((1,), (1,)), ((), ())), oh_first=True)[None]
         else:
-            cam_part_ref[...] += jax.lax.dot_general(
-                msg_cam, oh_c, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=hi)[None]
-            lmk_part_ref[...] += jax.lax.dot_general(
-                msg_lmk, oh_l, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=hi)[None]
+            cam_part_ref[...] += _dot3(
+                msg_cam, oh_c, (((1,), (1,)), ((), ())))[None]
+            lmk_part_ref[...] += _dot3(
+                msg_lmk, oh_l, (((1,), (1,)), ((), ())))[None]
 
     plx.run_scoped(
         inner,
