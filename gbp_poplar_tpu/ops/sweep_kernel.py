@@ -186,7 +186,7 @@ def _round_up(x: int, m: int) -> int:
 # gather microbenches at ~0.3 ms).
 # ---------------------------------------------------------------------------
 
-def _dot3(v, oh, dims, oh_first=False):
+def _dot3(v, oh, dims, oh_first=False, single_pass=False):
     """Exact f32 contraction against a ONE-HOT operand in 3 MXU passes.
 
     ``Precision.HIGHEST`` decomposes BOTH f32 operands into 3 bf16 terms
@@ -198,7 +198,19 @@ def _dot3(v, oh, dims, oh_first=False):
     recovers half of that with no accuracy loss (one-hot gathers stay
     value-exact; reduction partials differ from HIGHEST only at the f32
     ulp of the lo term).
+
+    ``single_pass`` is for the Pallas interpreter (CPU CI), whose dots are
+    native f32 — the limb split would only triple the interpreter's cost.
+    Gather outputs are bit-identical either way (one value x 1.0 per
+    column); reduction partials differ only in summation order. The limb
+    decomposition itself is unit-tested directly (tests/test_sweep_kernel
+    .test_dot3_limb_exactness) so hardware-only rounds aren't the only
+    coverage.
     """
+    if single_pass:
+        ops = (oh, v) if oh_first else (v, oh)
+        return jax.lax.dot_general(*ops, dims,
+                                   preferred_element_type=jnp.float32)
     hi = v.astype(jnp.bfloat16).astype(jnp.float32)
     r = v - hi
     mid = r.astype(jnp.bfloat16).astype(jnp.float32)
@@ -213,11 +225,13 @@ def _dot3(v, oh, dims, oh_first=False):
 
 
 def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
+                  interp: bool,
                   cam_base_ref, lmk_base_ref,
                   k_ref, cam_idx_ref, lmk_idx_ref, cam_tbl_ref, lmk_tbl_ref,
                   *refs):
     from ..core.gbp import EDGE_MATH_INPUTS, edge_math
 
+    dot3 = functools.partial(_dot3, single_pass=interp)
     n_in = len(EDGE_MATH_INPUTS) - 2            # bc/bl come from the tables
     i = plx.program_id(0)
     c0 = cam_base_ref[i]
@@ -243,8 +257,8 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
         # gather: [W, 32] window x [W, BE] one-hot -> [32, BE] (exact: each
         # output column is a single product value * 1.0; _dot3 keeps the
         # value f32-exact at half of HIGHEST's MXU passes)
-        bc = _dot3(cwin[:, :32], oh_c, (((0,), (0,)), ((), ())))[:27]
-        bl = _dot3(lwin[:, :32], oh_l, (((0,), (0,)), ((), ())))[:9]
+        bc = dot3(cwin[:, :32], oh_c, (((0,), (0,)), ((), ())))[:27]
+        bl = dot3(lwin[:, :32], oh_l, (((0,), (0,)), ((), ())))[:9]
 
         def brick(x):
             comp, n = x.shape
@@ -292,14 +306,14 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
             ml_pad = jnp.concatenate(
                 [msg_lmk, jnp.zeros((128 - msg_lmk.shape[0], be),
                                     jnp.float32)])
-            cam_part_ref[...] += _dot3(
+            cam_part_ref[...] += dot3(
                 mc_pad, oh_c, (((1,), (1,)), ((), ())), oh_first=True)[None]
-            lmk_part_ref[...] += _dot3(
+            lmk_part_ref[...] += dot3(
                 ml_pad, oh_l, (((1,), (1,)), ((), ())), oh_first=True)[None]
         else:
-            cam_part_ref[...] += _dot3(
+            cam_part_ref[...] += dot3(
                 msg_cam, oh_c, (((1,), (1,)), ((), ())))[None]
-            lmk_part_ref[...] += _dot3(
+            lmk_part_ref[...] += dot3(
                 msg_lmk, oh_l, (((1,), (1,)), ((), ())))[None]
 
     plx.run_scoped(
@@ -395,7 +409,7 @@ def sweep_fused_pallas(
 
     outs = plx.pallas_call(
         functools.partial(_fused_kernel, cfg, sub, cam_win.w, lmk_win.w,
-                          var_major),
+                          var_major, bool(interpret)),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         cost_estimate=cost,

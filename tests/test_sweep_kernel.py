@@ -18,6 +18,42 @@ ON_TPU = jax.default_backend() == "tpu"
 KERNEL = True if ON_TPU else "interpret"
 
 
+def test_dot3_limb_exactness():
+    """The 3-limb split contraction (sweep_kernel._dot3) is EXACT for
+    one-hot gathers and matches a float64 reduction to f32 ulp for
+    one-hot-grouped reductions — the TPU kernel's replacement for
+    Precision.HIGHEST (interpret-mode kernels take the single_pass path,
+    so the limb math is pinned here directly)."""
+    import jax.numpy as jnp
+    from gbp_poplar_tpu.ops.sweep_kernel import _dot3
+
+    rng = np.random.default_rng(3)
+    # values spanning many magnitudes — needs all 24 mantissa bits
+    v = (rng.standard_normal((32, 64)) *
+         10.0 ** rng.integers(-6, 6, (32, 64))).astype(np.float32)
+    idx = rng.integers(0, 32, 128)
+    oh = (np.arange(32)[:, None] == idx[None]).astype(np.float32)
+    # limbs reconstruct v exactly
+    hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+    r = jnp.asarray(v) - hi
+    mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = r - mid
+    np.testing.assert_array_equal(np.asarray(hi + mid + lo), v)
+    # gather direction: window[:, comp] x one-hot -> bit-exact take
+    g = _dot3(jnp.asarray(v), jnp.asarray(oh), (((0,), (0,)), ((), ())))
+    np.testing.assert_array_equal(np.asarray(g), v[idx].T)
+    # reduction direction: msg [comp, E] x oh^T [W, E] -> f64-level sums
+    msg = rng.standard_normal((64, 128)).astype(np.float32)
+    red = _dot3(jnp.asarray(msg), jnp.asarray(oh),
+                (((1,), (1,)), ((), ())))
+    want = msg.astype(np.float64) @ oh.T.astype(np.float64)
+    np.testing.assert_allclose(np.asarray(red), want, rtol=0, atol=1e-4)
+    # single_pass (interpreter path) agrees to summation order
+    red1 = _dot3(jnp.asarray(msg), jnp.asarray(oh),
+                 (((1,), (1,)), ((), ())), single_pass=True)
+    np.testing.assert_allclose(np.asarray(red1), want, rtol=0, atol=1e-4)
+
+
 @pytest.fixture(scope="module")
 def prob():
     return balio.synthetic_problem(n_keyframes=5, n_points=40, seed=4,
