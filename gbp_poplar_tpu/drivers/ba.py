@@ -44,9 +44,18 @@ def main(argv=None) -> int:
     common.maybe_force_platform()
     import jax
 
-    cfg, init_cfg = common.config_from_args(args)
+    # coarse_groups=16: per-group rigid coarse-space correction at accel
+    # chunk boundaries. Collapses the slow near-gauge modes that message
+    # passing relaxes diffusively — fr1xyz GBP-GN ATE 63mm -> 29mm at 1500
+    # iters (<1mm at 3000), MAP cost ratio 1.109 -> 1.004, fr2robot2
+    # unchanged at <1mm (docs/VALIDATION.md). Off in slam (insertion
+    # transients) and in the raw-library default (bench purity).
+    cfg, init_cfg = common.config_from_args(args, default_coarse_groups=16)
 
     problem = balio.load_bal(args.bal_file)
+    if cfg.coarse_groups > problem.n_keyframes:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, coarse_groups=problem.n_keyframes)
     problem = priors.apply_init_noise(problem, init_cfg,
                                       k_anchor=cfg.num_anchor_cams)
     print(f"{args.bal_file}: {problem.n_keyframes} keyframes, "

@@ -80,6 +80,13 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "insertion may relinearise behind the camera "
                         "(recaptures deadlocked runaway landmarks; "
                         "<=0 disables)")
+    p.add_argument("--coarse_groups", type=int, default=None,
+                   help="coarse-space (multigrid) correction over this many "
+                        "rigid keyframe groups at each accel chunk boundary "
+                        "(core/coarse.py); <=0 disables. The batch ba "
+                        "driver defaults to 16 — it collapses the slow "
+                        "near-gauge modes (fr1xyz GBP-GN ATE 63mm -> <1mm); "
+                        "slam keeps it off (insertion transients)")
     p.add_argument("--schedule", choices=["reference", "gn"],
                    default="reference",
                    help="'reference' = the IPU reference's lazy-"
@@ -95,6 +102,7 @@ def config_from_args(
     default_lambda_damping: bool = False,
     relin_behind_camera: bool = True,
     default_rescue_iters: int = 0,
+    default_coarse_groups: int = 0,
 ) -> tuple[GBPConfig, InitConfig]:
     relin_drift = (default_relin_drift if args.relin_drift is None
                    else args.relin_drift)
@@ -103,10 +111,14 @@ def config_from_args(
     rescue = (default_rescue_iters
               if getattr(args, "rescue_iters", None) is None
               else args.rescue_iters)
+    coarse = (default_coarse_groups
+              if getattr(args, "coarse_groups", None) is None
+              else args.coarse_groups)
     gn_schedule = getattr(args, "schedule", "reference") == "gn"
     cfg = GBPConfig(
         relin_behind_camera=relin_behind_camera,
         behind_camera_rescue_iters=rescue,
+        coarse_groups=max(coarse, 0),
         meas_var=args.reproj_meas_var,
         prior_std_weaker_factor=args.prior_std_weaker_factor,
         first_cam_prior_std=args.first_cam_prior_std,
