@@ -120,14 +120,18 @@ class GBPConfig:
     relin_behind_camera: bool = True
     # Time-gated escape hatch for the one-sided guard: edges whose
     # damping_count exceeds this ALSO relinearise behind the camera.
-    # damping_count restarts at every keyframe insertion (core/slam.py),
-    # so the gate reads "no insertion in the last N sweeps" — fresh
-    # handoff transients stay protected while landmarks that settled
-    # behind a camera (the one-sided guard's deadlock: stale potential
-    # pins them there with unbounded residual) get recaptured late in
-    # each segment. Measured on fr1xyz SLAM at 700 it/kf: the end-state
-    # error is dominated by ~3 such landmarks (edges at 300-1500 px,
-    # z in [-0.03, -0.8]); <= 0 disables.
+    # damping_count restarts at every keyframe insertion (core/slam.py)
+    # AND on every relinearisation (reset_damping_on_relin), so the gate
+    # reads "this edge has neither relinearised nor seen an insertion for
+    # N sweeps". That is exactly the deadlock signature — a behind-camera
+    # edge CANNOT relinearise under the one-sided guard, so its count
+    # grows without bound while fresh handoff transients (which do relin)
+    # keep resetting theirs. Landmarks pinned behind a camera by a stale
+    # potential (unbounded residual) are recaptured once settled; under
+    # --schedule gn (relin_every_iter) the relin reset is skipped and the
+    # gate depends on insertions only. Measured on fr1xyz SLAM at 700
+    # it/kf: the end-state error is dominated by ~3 such landmarks (edges
+    # at 300-1500 px, z in [-0.03, -0.8]); <= 0 disables.
     behind_camera_rescue_iters: int = 0
 
     # --- execution ---

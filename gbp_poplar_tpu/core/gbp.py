@@ -360,9 +360,10 @@ def edge_math(
         else:
             ok_depth = y_cf[2] > cfg.min_depth
             if cfg.behind_camera_rescue_iters > 0:
-                # settled edges (no keyframe insertion for N sweeps —
-                # damping_count restarts at insertion) escape the
-                # one-sided guard's behind-camera deadlock
+                # settled edges (no relin and no keyframe insertion for N
+                # sweeps — damping_count restarts at both; see
+                # config.behind_camera_rescue_iters) escape the one-sided
+                # guard's behind-camera deadlock
                 settled = damping_count > cfg.behind_camera_rescue_iters
                 ok_depth = ok_depth | (
                     settled & (jnp.abs(y_cf[2]) > cfg.min_depth))
@@ -1010,6 +1011,7 @@ def run_gbp(
     iter_offset: jax.Array | int = 0,
     axis_name: str | None = None,
     lmk_sharded: bool = False,
+    warm: int | None = None,
 ):
     """Run `n_iters` GBP iterations on device.
 
@@ -1027,6 +1029,13 @@ def run_gbp(
     init or SLAM insertion) and are provably exhausted after 2*steps
     iterations; when ``iter_offset`` is a static int, annealing runs only
     for that warmup and the remaining sweeps skip it entirely.
+
+    ``warm`` overrides that warmup length STATICALLY while leaving
+    ``iter_offset`` free to be a traced value — the chunked CLI drivers
+    need this: with a traced offset alone, every sweep would run the
+    annealing body and the accel/coarse chunk path below would be
+    unreachable (the offset only ever feeds traced comparisons once the
+    warmup split is pinned).
     """
 
     def sweep_body(anneal):
@@ -1041,17 +1050,21 @@ def run_gbp(
             return s, out
         return body
 
-    warm = (n_iters if not isinstance(iter_offset, int)
-            else min(n_iters, max(0, 2 * cfg.steps - iter_offset)))
+    if warm is None:
+        warm = (n_iters if not isinstance(iter_offset, int)
+                else min(n_iters, max(0, 2 * cfg.steps - iter_offset)))
+    else:
+        warm = min(n_iters, max(0, warm))
     diag_parts = []
     if warm:
         state, dw = jax.lax.scan(sweep_body(True), state, jnp.arange(warm))
         diag_parts.append(dw)
     n2 = n_iters - warm
     off2 = iter_offset + warm
-    # Hot sweeps are only reached with a STATIC iter_offset (a traced
-    # offset forces warm == n_iters and the early return below), so every
-    # hot sweep is anneal-free.
+    # Hot sweeps are only reached with a STATIC iter_offset or an explicit
+    # static ``warm`` (a traced offset alone forces warm == n_iters and
+    # the early return below), so every hot sweep is anneal-free; a traced
+    # off2 is fine — it only feeds the traced accel_start comparison.
     table_mode = _table_carry_ok(graph, cfg, axis_name)
     if table_mode:
         prior_tbls = _prior_tables(state, graph)

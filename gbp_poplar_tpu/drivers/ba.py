@@ -83,12 +83,21 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     if start_iter == 0:
         state = solver.initialise(state)
+    # Execution chunk vs print cadence: telemetry is per-iteration either
+    # way (scan outputs), but the accel/coarse chunk path inside run_gbp
+    # only engages when a single jitted call spans >= 2 accel chunks — so
+    # execute in spans of 4*accel_every (accel keeps 3/4 of its cadence
+    # across call boundaries, where its rate history resets) and print the
+    # buffered per-iter lines after each span.
     chunk = max(1, args.print_every)
+    if cfg.accel_every > 0:
+        chunk = max(chunk, 4 * cfg.accel_every)
     i = start_iter
     t_first_chunk = None
     while i < args.n_iters:
         n = min(chunk, args.n_iters - i)
-        state, diag = solver.run(state, n, i)
+        warm = min(n, max(0, 2 * cfg.steps - i))
+        state, diag = solver.run(state, n, i, warm)
         errs = np.asarray(diag.reproj_err)
         costs = np.asarray(diag.cost)
         relins = np.asarray(diag.n_relins)
@@ -169,9 +178,13 @@ class _SingleChip:
         import jax
         from functools import partial
         self._graph = graph
+        self._cfg_steps = cfg.steps
         self.initialise = jax.jit(lambda s: gbp.initialise(s, graph, cfg))
-        self._run = partial(jax.jit, static_argnums=1)(
-            lambda s, n, off: gbp.run_gbp(s, graph, cfg, n, iter_offset=off))
+        # n and warm static (program structure), offset traced (only feeds
+        # the accel_start comparison — no recompile per chunk position)
+        self._run = partial(jax.jit, static_argnums=(1, 3))(
+            lambda s, n, off, warm: gbp.run_gbp(
+                s, graph, cfg, n, iter_offset=off, warm=warm))
 
     def prep(self, state):
         return state
@@ -179,8 +192,12 @@ class _SingleChip:
     def unprep(self, state):
         return state
 
-    def run(self, state, n, offset):
-        return self._run(state, n, offset)
+    def run(self, state, n, offset, warm=None):
+        import jax.numpy as jnp
+        if warm is None:
+            warm = n if not isinstance(offset, int) else max(
+                0, min(n, 2 * self._cfg_steps - offset))
+        return self._run(state, n, jnp.asarray(offset, jnp.int32), warm)
 
 
 class _Sharded:
@@ -209,8 +226,8 @@ class _Sharded:
     def initialise(self, state):
         return self._solver.initialise(state, self._graph)
 
-    def run(self, state, n, offset):
-        return self._solver.run(state, self._graph, n, offset)
+    def run(self, state, n, offset, warm=None):
+        return self._solver.run(state, self._graph, n, offset, warm)
 
 
 def _polish_problem(problem, cfg: GBPConfig):

@@ -76,10 +76,10 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    action="store_false")
     p.add_argument("--rescue_iters", type=int, default=None,
                    help="with the incremental one-sided depth guard, edges "
-                        "settled this many sweeps past the last keyframe "
-                        "insertion may relinearise behind the camera "
-                        "(recaptures deadlocked runaway landmarks; "
-                        "<=0 disables)")
+                        "that have neither relinearised nor seen a keyframe "
+                        "insertion for this many sweeps may relinearise "
+                        "behind the camera (recaptures deadlocked runaway "
+                        "landmarks; <=0 disables)")
     p.add_argument("--coarse_groups", type=int, default=None,
                    help="coarse-space (multigrid) correction over this many "
                         "rigid keyframe groups at each accel chunk boundary "

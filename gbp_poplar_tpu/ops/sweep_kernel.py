@@ -209,8 +209,12 @@ def _dot3(v, oh, dims, oh_first=False, single_pass=False):
     """
     if single_pass:
         ops = (oh, v) if oh_first else (v, oh)
+        # HIGHEST so an interpret-mode run ON a TPU backend stays exact
+        # (the interpreter lowers to plain dots; default precision there
+        # would be one bf16 pass). No-op on CPU.
         return jax.lax.dot_general(*ops, dims,
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
     hi = v.astype(jnp.bfloat16).astype(jnp.float32)
     r = v - hi
     mid = r.astype(jnp.bfloat16).astype(jnp.float32)

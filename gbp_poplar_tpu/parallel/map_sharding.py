@@ -183,12 +183,12 @@ def make_map_sharded_solver(mesh: Mesh, cfg: GBPConfig) -> MapShardedSolver:
             out_specs=(sspec, diag_spec), in_specs=(sspec, gspec))
         return f(state, graph)
 
-    @partial(jax.jit, static_argnums=2)
-    def run_fn(state, graph, n_iters, iter_offset=0):
+    @partial(jax.jit, static_argnums=(2, 4))
+    def run_fn(state, graph, n_iters, iter_offset=0, warm=None):
         f = smap(
             lambda s, g, off: gbp.run_gbp(
                 s, g, cfg, n_iters, iter_offset=off,
-                axis_name=EDGE_AXIS, lmk_sharded=True),
+                axis_name=EDGE_AXIS, lmk_sharded=True, warm=warm),
             out_specs=(sspec, diag_spec), in_specs=(sspec, gspec, rep))
         return f(state, graph, jnp.asarray(iter_offset, jnp.int32))
 

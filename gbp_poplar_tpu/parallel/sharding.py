@@ -159,7 +159,7 @@ class ShardedSolver:
     solve: callable          # (state, graph, n_iters) -> (state, Diagnostics)
     sweep: callable          # (state, graph) -> state
     initialise: callable     # (state, graph) -> state
-    run: callable            # (state, graph, n_iters, iter_offset) -> (state, diag)
+    run: callable   # (state, graph, n_iters, iter_offset, warm) -> (state, diag)
 
     def prepare(self, graph: GBPGraph, state: GBPState):
         graph, state, _ = pad_edges(graph, state, self.mesh.size)
@@ -205,11 +205,12 @@ def make_sharded_solver(mesh: Mesh, cfg: GBPConfig) -> ShardedSolver:
             out_specs=sspec, in_specs=(sspec, gspec))
         return f(state, graph)
 
-    @partial(jax.jit, static_argnums=2)
-    def run_fn(state, graph, n_iters, iter_offset=0):
+    @partial(jax.jit, static_argnums=(2, 4))
+    def run_fn(state, graph, n_iters, iter_offset=0, warm=None):
         f = smap(
             lambda s, g, off: gbp.run_gbp(
-                s, g, cfg, n_iters, iter_offset=off, axis_name=EDGE_AXIS),
+                s, g, cfg, n_iters, iter_offset=off, axis_name=EDGE_AXIS,
+                warm=warm),
             out_specs=(sspec, diag_spec), in_specs=(sspec, gspec, rep))
         return f(state, graph, jnp.asarray(iter_offset, jnp.int32))
 

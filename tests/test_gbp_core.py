@@ -146,6 +146,40 @@ def test_inactive_edges_send_zero_messages():
         np.asarray(state.cam_prior_eta)[:, untouched])
 
 
+def test_warm_override_matches_static_offset(synthetic):
+    """``run_gbp(traced offset, static warm)`` — the chunked CLI drivers'
+    calling convention — must reproduce the static-offset path exactly,
+    including through the accelerator chunk path (accel_every > 0)."""
+    cfg = GBPConfig(accel_every=8, accel_start=10, steps=5)
+    graph = build_graph(synthetic, cfg)
+    state0 = gbp.initialise(init_state(synthetic, cfg), graph, cfg)
+
+    run_static = jax.jit(
+        lambda s, n, off: gbp.run_gbp(s, graph, cfg, n, iter_offset=off),
+        static_argnums=(1, 2))
+    run_warm = jax.jit(
+        lambda s, n, off, w: gbp.run_gbp(s, graph, cfg, n, iter_offset=off,
+                                         warm=w),
+        static_argnums=(1, 3))
+
+    def chunks(run, traced):
+        s, diags = state0, []
+        for off, n in ((0, 12), (12, 20)):
+            w = max(0, min(n, 2 * cfg.steps - off))
+            if traced:
+                s, d = run(s, n, jnp.asarray(off, jnp.int32), w)
+            else:
+                s, d = run(s, n, off)
+            diags.append(np.asarray(d.reproj_err))
+        return s, np.concatenate(diags)
+
+    s_a, err_a = chunks(run_static, False)
+    s_b, err_b = chunks(run_warm, True)
+    np.testing.assert_array_equal(err_a, err_b)
+    for leaf_a, leaf_b in zip(jax.tree.leaves(s_a), jax.tree.leaves(s_b)):
+        np.testing.assert_array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
+
+
 def test_solve_runs_and_is_finite(synthetic):
     cfg = GBPConfig(relin_every_iter=True, lambda_damping=True,
                     iters_before_damping=0)
