@@ -360,7 +360,7 @@ def blocked_gather(
         in_specs=[
             plx.BlockSpec((1, be), lambda i, *_: (0, i),
                           memory_space=pltpu.VMEM),
-            plx.BlockSpec(memory_space=pltpu.ANY),   # source stays off-VMEM
+            plx.BlockSpec(memory_space=plx.ANY),   # source stays off-VMEM
         ],
         out_specs=plx.BlockSpec((comp, be), lambda i, *_: (0, i),
                                 memory_space=pltpu.VMEM),

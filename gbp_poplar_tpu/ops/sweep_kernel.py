@@ -391,8 +391,8 @@ def sweep_fused_pallas(
         grid=(nb,),
         in_specs=([plx.BlockSpec(memory_space=pltpu.SMEM),    # intrinsics
                    spec(ci.shape), spec(li.shape),
-                   plx.BlockSpec(memory_space=pltpu.ANY),     # cam table
-                   plx.BlockSpec(memory_space=pltpu.ANY)]     # lmk table
+                   plx.BlockSpec(memory_space=plx.ANY),     # cam table
+                   plx.BlockSpec(memory_space=plx.ANY)]     # lmk table
                   + [spec(x.shape) for x in prepped]),
         out_specs=([spec(s.shape) for s in out_shapes[:-2]]
                    + [plx.BlockSpec((1,) + out_shapes[-2].shape[1:],

@@ -42,7 +42,9 @@ for kv in sys.argv[4:]:
                              else v not in ("0", "false"))
 
 base = dataclasses.replace(GBPConfig(coarse_groups=16), **overrides)
-cfg_on = dataclasses.replace(base, relin_drift_threshold=0.05)
+# an explicit relin_drift_threshold override sets the "on" phase threshold
+cfg_on = (base if "relin_drift_threshold" in overrides
+          else dataclasses.replace(base, relin_drift_threshold=0.05))
 cfg_off = dataclasses.replace(base, relin_drift_threshold=0.0)
 
 prob = balio.load_bal(seq)
