@@ -115,20 +115,37 @@ def coarse_increment(
     r = graph.meas.T - projection.project(cam_e, lmk_e, graph.k)   # [E, 2]
     err = jnp.linalg.norm(r, axis=-1)
     var, _ = projection.huber_meas_var(err, graph.meas_var, cfg.huber_nstds)
-    act = (state.active > 0) & jnp.all(jnp.isfinite(r), axis=-1)
+    # one degenerate edge (landmark grazing the camera plane: j ~ fx/z
+    # explodes) must poison only ITSELF, not the reduced system — its 1e20+
+    # contributions would otherwise dominate or NaN the assembled solve and
+    # the ok-guard below would silently zero the ENTIRE correction.
+    # Deactivate such edges (the sweep's own min_depth Jacobian-singularity
+    # guard, applied at the coarse level) and zero their operands outright.
+    z_cf = lie.w2c_apply(cam_e, lmk_e)[..., 2]
+    act = ((state.active > 0) & jnp.all(jnp.isfinite(r), axis=-1)
+           & (jnp.abs(z_cf) > cfg.min_depth)
+           & jnp.all(jnp.isfinite(j_c), axis=(-2, -1))
+           & jnp.all(jnp.isfinite(j_l), axis=(-2, -1)))
     w = jnp.where(act, 1.0 / var, 0.0)[:, None, None]              # [E,1,1]
+    r = jnp.where(act[:, None], r, 0.0)
 
-    b_c = linalg.bmm(j_c, s_cam[graph.cam_idx])       # [E, 2, 6]
-    b_l = linalg.bmm(j_l, s_lmk[graph.lmk_idx])       # [E, 2, 6]
+    m = act[:, None, None]
+    b_c = jnp.where(m, linalg.bmm(j_c, s_cam[graph.cam_idx]), 0.0)  # [E,2,6]
+    b_l = jnp.where(m, linalg.bmm(j_l, s_lmk[graph.lmk_idx]), 0.0)  # [E,2,6]
     ga = g_cam[graph.cam_idx]
     gb = g_lmk[graph.lmk_idx]
 
-    # block contributions: A[ga,ga], A[gb,gb], A[ga,gb] (+sym), rhs
-    aa = linalg.bmm(linalg.transpose(b_c), b_c) * w
-    bb = linalg.bmm(linalg.transpose(b_l), b_l) * w
-    ab = linalg.bmm(linalg.transpose(b_c), b_l) * w
-    rc = linalg.bmv(linalg.transpose(b_c), r) * w[..., 0]
-    rl = linalg.bmv(linalg.transpose(b_l), r) * w[..., 0]
+    # block contributions: A[ga,ga], A[gb,gb], A[ga,gb] (+sym), rhs; a
+    # finite-but-huge Jacobian can still overflow the PRODUCTS to inf —
+    # sanitise per edge so the damage stays local
+    def _fin(x):
+        return jnp.where(jnp.isfinite(x), x, 0.0)
+
+    aa = _fin(linalg.bmm(linalg.transpose(b_c), b_c) * w)
+    bb = _fin(linalg.bmm(linalg.transpose(b_l), b_l) * w)
+    ab = _fin(linalg.bmm(linalg.transpose(b_c), b_l) * w)
+    rc = _fin(linalg.bmv(linalg.transpose(b_c), r) * w[..., 0])
+    rl = _fin(linalg.bmv(linalg.transpose(b_l), r) * w[..., 0])
 
     a = jnp.zeros((g * g, RIGID_DOF, RIGID_DOF), camr.dtype)
     a = a + jax.ops.segment_sum(aa, ga * g + ga, num_segments=g * g)

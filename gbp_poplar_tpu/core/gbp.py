@@ -52,7 +52,7 @@ def _variable_means(state: GBPState) -> tuple[jax.Array, jax.Array]:
 
 def update_beliefs(
     state: GBPState, graph: GBPGraph, axis_name: str | None = None,
-    lmk_sharded: bool = False,
+    lmk_sharded: bool = False, interpret: bool = False,
 ) -> GBPState:
     """belief = prior + sum of incoming messages (scatter-add over edges).
 
@@ -80,14 +80,14 @@ def update_beliefs(
     elif graph.cam_blocked is not None:
         from ..ops.reduce_kernel import blocked_reduce
         cam_sum = blocked_reduce(cam_planes, graph.cam_idx,
-                                 graph.cam_blocked, c)
+                                 graph.cam_blocked, c, interpret=interpret)
     else:
         cam_sum = jax.ops.segment_sum(cam_planes.T, graph.cam_idx,
                                       num_segments=c).T            # [27, C]
     if graph.lmk_blocked is not None:
         from ..ops.reduce_kernel import blocked_reduce
         lmk_sum = blocked_reduce(lmk_planes, graph.lmk_idx,
-                                 graph.lmk_blocked, l)
+                                 graph.lmk_blocked, l, interpret=interpret)
     else:
         lmk_sum = jax.ops.segment_sum(lmk_planes.T, graph.lmk_idx,
                                       num_segments=l).T            # [9, L]
@@ -142,19 +142,26 @@ def relinearise_masked(
     state: GBPState, graph: GBPGraph, cfg: GBPConfig, mask: jax.Array
 ) -> GBPState:
     """Relinearise only the edges in `mask` at current belief means
-    (used by SLAM keyframe insertion and by the accelerator after an
-    accepted mean jump — stale linearisation points would otherwise block
-    the lazy relin trigger, whose dmu test needs quiescence)."""
+    (used by SLAM keyframe insertion — stale linearisation points would
+    otherwise block the lazy relin trigger, whose dmu test needs
+    quiescence)."""
     f_eta_c, f_eta_l, f_lam_cc, f_lam_cl, f_lam_ll, robust, mu = (
         _linearise_planes(state, graph, cfg))
     # never adopt a linearisation at a non-finite mean (a weakly-constrained
     # adjacent belief can be numerically singular)
     mask = mask & jnp.isfinite(jnp.sum(jnp.abs(mu), axis=0))
     if cfg.min_depth > 0.0:
-        # same Jacobian-singularity guard as the sweep's relin path
+        # same Jacobian-singularity guard as the sweep's relin path,
+        # including its sidedness: with relin_behind_camera=False (the SLAM
+        # driver default) a linearisation at a behind-camera mean is refused
+        # here exactly as the sweep would refuse it — insertion must not
+        # adopt the wrong-signed factors the one-sided guard exists to block
         mu_rows = pl.unpack_vec(mu, 9)
         y_cf, _ = pl.w2c_apply(mu_rows[:6], mu_rows[6:])
-        mask = mask & (jnp.abs(y_cf[2]) > cfg.min_depth)[0]
+        z = y_cf[2]
+        ok_depth = (jnp.abs(z) > cfg.min_depth if cfg.relin_behind_camera
+                    else z > cfg.min_depth)
+        mask = mask & ok_depth[0]
     m1 = mask[None, :]
     return state._replace(
         f_eta_c=jnp.where(m1, f_eta_c, state.f_eta_c),
@@ -219,7 +226,7 @@ def _anneal_priors(
 
 def weaken_priors(
     state: GBPState, graph: GBPGraph, axis_name: str | None = None,
-    lmk_sharded: bool = False,
+    lmk_sharded: bool = False, interpret: bool = False,
 ) -> GBPState:
     """Scale priors by the per-variable annealing factor while the weaken
     flag is live, decrementing the flag; then refresh beliefs."""
@@ -227,7 +234,7 @@ def weaken_priors(
     # only ever set to `steps` and decremented, so `> 0` is the exact intent.
     state = _anneal_priors(state, graph,
                            state.cam_weaken > 0, state.lmk_weaken > 0)
-    return update_beliefs(state, graph, axis_name, lmk_sharded)
+    return update_beliefs(state, graph, axis_name, lmk_sharded, interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -476,6 +483,13 @@ def _use_pallas(cfg: GBPConfig) -> bool:
     return bool(cfg.use_pallas)  # True, False, or "interpret" (CPU CI)
 
 
+def _interpret(cfg: GBPConfig) -> bool:
+    """True when Pallas kernels must run in interpret mode (CPU CI); the
+    flag is threaded to EVERY pallas_call site, including the blocked
+    reductions inside update_beliefs."""
+    return cfg.use_pallas == "interpret"
+
+
 def _win_table_rows(win, n_var: int) -> int:
     """Static row count for a var-major belief table the fused kernel can
     window-DMA from (k == -1 marks whole-table windows)."""
@@ -551,7 +565,8 @@ def gbp_sweep(
     )
 
     # --- belief update (reduce) ---
-    return update_beliefs(state, graph, axis_name, lmk_sharded)
+    return update_beliefs(state, graph, axis_name, lmk_sharded,
+                          _interpret(cfg))
 
 
 def _make_tables(
@@ -618,6 +633,34 @@ def _table_carry_ok(graph: GBPGraph, cfg: GBPConfig,
     return grid_bytes <= 16 * 2**20
 
 
+def _sweep_inputs(state: GBPState, graph: GBPGraph):
+    """Positional edge-state operands of the fused sweep kernel, in the
+    order sweep_fused_pallas expects (and aliases in-place)."""
+    return (graph.meas, graph.meas_var,
+            state.f_eta_c, state.f_eta_l, state.f_lam_cc,
+            state.f_lam_cl, state.f_lam_ll,
+            state.msg_c_eta, state.msg_c_lam,
+            state.msg_l_eta, state.msg_l_lam,
+            state.damping, state.damping_count, state.mu, state.lin_mu,
+            state.robust, state.active)
+
+
+def _apply_sweep_outputs(state: GBPState, outs) -> GBPState:
+    """Fold the fused kernel's EDGE_MATH_OUTPUTS back into the state (the
+    single-plane damping/robust rows come back as [1, E])."""
+    (f_eta_c, f_eta_l, f_lam_cc, f_lam_cl, f_lam_ll,
+     msg_c_eta, msg_c_lam, msg_l_eta, msg_l_lam,
+     damping, damping_count, new_mu, lin_mu, robust) = outs
+    return state._replace(
+        f_eta_c=f_eta_c, f_eta_l=f_eta_l, f_lam_cc=f_lam_cc,
+        f_lam_cl=f_lam_cl, f_lam_ll=f_lam_ll,
+        msg_c_eta=msg_c_eta, msg_c_lam=msg_c_lam,
+        msg_l_eta=msg_l_eta, msg_l_lam=msg_l_lam,
+        damping=damping[0], damping_count=damping_count[0],
+        mu=new_mu, lin_mu=lin_mu, robust=robust[0],
+    )
+
+
 def _gbp_sweep_tables(
     state: GBPState, cam_tbl: jax.Array, lmk_tbl: jax.Array,
     cam_prior_tbl: jax.Array, lmk_prior_tbl: jax.Array,
@@ -633,29 +676,12 @@ def _gbp_sweep_tables(
     from ..ops.reduce_kernel import combine_grid_var
     from ..ops.sweep_kernel import sweep_fused_pallas
 
-    inputs = (graph.meas, graph.meas_var,
-              state.f_eta_c, state.f_eta_l, state.f_lam_cc,
-              state.f_lam_cl, state.f_lam_ll,
-              state.msg_c_eta, state.msg_c_lam,
-              state.msg_l_eta, state.msg_l_lam,
-              state.damping, state.damping_count, state.mu, state.lin_mu,
-              state.robust, state.active)
     outs, cam_part, lmk_part = sweep_fused_pallas(
-        inputs, cam_tbl, lmk_tbl, graph.cam_idx, graph.lmk_idx,
+        _sweep_inputs(state, graph), cam_tbl, lmk_tbl,
+        graph.cam_idx, graph.lmk_idx,
         graph.cam_win, graph.lmk_win, graph.k, cfg,
-        interpret=cfg.use_pallas == "interpret", var_major=True)
-
-    (f_eta_c, f_eta_l, f_lam_cc, f_lam_cl, f_lam_ll,
-     msg_c_eta, msg_c_lam, msg_l_eta, msg_l_lam,
-     damping, damping_count, new_mu, lin_mu, robust) = outs
-    state = state._replace(
-        f_eta_c=f_eta_c, f_eta_l=f_eta_l, f_lam_cc=f_lam_cc,
-        f_lam_cl=f_lam_cl, f_lam_ll=f_lam_ll,
-        msg_c_eta=msg_c_eta, msg_c_lam=msg_c_lam,
-        msg_l_eta=msg_l_eta, msg_l_lam=msg_l_lam,
-        damping=damping[0], damping_count=damping_count[0],
-        mu=new_mu, lin_mu=lin_mu, robust=robust[0],
-    )
+        interpret=_interpret(cfg), var_major=True)
+    state = _apply_sweep_outputs(state, outs)
     cam_tbl = combine_grid_var(cam_part, graph.cam_win,
                                cam_prior_tbl.shape[0]) + cam_prior_tbl
     lmk_tbl = combine_grid_var(lmk_part, graph.lmk_win,
@@ -676,29 +702,12 @@ def _gbp_sweep_fused(
     c, l = graph.n_keyframes, graph.n_points
     cam_tbl, lmk_tbl = _make_tables(state, graph)
 
-    inputs = (graph.meas, graph.meas_var,
-              state.f_eta_c, state.f_eta_l, state.f_lam_cc,
-              state.f_lam_cl, state.f_lam_ll,
-              state.msg_c_eta, state.msg_c_lam,
-              state.msg_l_eta, state.msg_l_lam,
-              state.damping, state.damping_count, state.mu, state.lin_mu,
-              state.robust, state.active)
     outs, cam_part, lmk_part = sweep_fused_pallas(
-        inputs, cam_tbl, lmk_tbl, graph.cam_idx, graph.lmk_idx,
+        _sweep_inputs(state, graph), cam_tbl, lmk_tbl,
+        graph.cam_idx, graph.lmk_idx,
         graph.cam_win, graph.lmk_win, graph.k, cfg,
-        interpret=cfg.use_pallas == "interpret")
-
-    (f_eta_c, f_eta_l, f_lam_cc, f_lam_cl, f_lam_ll,
-     msg_c_eta, msg_c_lam, msg_l_eta, msg_l_lam,
-     damping, damping_count, new_mu, lin_mu, robust) = outs
-    state = state._replace(
-        f_eta_c=f_eta_c, f_eta_l=f_eta_l, f_lam_cc=f_lam_cc,
-        f_lam_cl=f_lam_cl, f_lam_ll=f_lam_ll,
-        msg_c_eta=msg_c_eta, msg_c_lam=msg_c_lam,
-        msg_l_eta=msg_l_eta, msg_l_lam=msg_l_lam,
-        damping=damping[0], damping_count=damping_count[0],
-        mu=new_mu, lin_mu=lin_mu, robust=robust[0],
-    )
+        interpret=_interpret(cfg))
+    state = _apply_sweep_outputs(state, outs)
 
     cam_sum = combine_grid(cam_part, graph.cam_win, c)        # [27, C]
     lmk_sum = combine_grid(lmk_part, graph.lmk_win, l)        # [9, L]
@@ -780,7 +789,8 @@ def initialise(
 ) -> GBPState:
     """WRITE + LINEARISE: beliefs <- priors, then linearise every factor
     (reference: ba/ba.cpp:982-987)."""
-    state = update_beliefs(state, graph, axis_name, lmk_sharded)
+    state = update_beliefs(state, graph, axis_name, lmk_sharded,
+                           _interpret(cfg))
     return linearise_all(state, graph, cfg)
 
 
@@ -894,27 +904,31 @@ def _apply_mean_shift(
             cam_deta * cshare, graph.cam_idx, axis=1),
         msg_l_eta=state.msg_l_eta + act * jnp.take(
             lmk_deta * lshare, graph.lmk_idx, axis=1))
-    del cfg
     # NOTE: forcing relinearisation at the shifted means was tried and is
     # actively harmful (relin storms destabilise fr1desk); the sweep's own
     # lazy trigger recaptures once the jump re-quiesces.
-    return update_beliefs(cand, graph, axis_name, lmk_sharded)
+    return update_beliefs(cand, graph, axis_name, lmk_sharded,
+                          _interpret(cfg))
 
 
 def _coarse_step(
     state: GBPState, graph: GBPGraph, cfg: GBPConfig, degs,
     axis_name: str | None, lmk_sharded: bool,
+    cost: jax.Array | None = None,
 ) -> GBPState:
     """Coarse-space correction (core/coarse.py): solve the MAP increment in
     the per-group rigid subspace and apply it if the cost decreases.
-    Vanishes at the MAP fixed point (zero coarse gradient)."""
+    Vanishes at the MAP fixed point (zero coarse gradient). ``cost`` is the
+    caller's already-computed map_cost of ``state``, threaded through from
+    _accel_step so a chunk boundary evaluates each candidate once."""
     from . import coarse
 
     cam_mu, lmk_mu = _variable_means(state)
     d_cam, d_lmk = coarse.coarse_increment(
         state, graph, cfg, cam_mu, lmk_mu, axis_name, lmk_sharded)
     best = state
-    best_cost = map_cost(state, graph, cfg, axis_name, lmk_sharded)
+    best_cost = (map_cost(state, graph, cfg, axis_name, lmk_sharded)
+                 if cost is None else cost)
     for scale in (1.0, 0.3):
         cand = _apply_mean_shift(state, graph, cfg, scale * d_cam,
                                  scale * d_lmk, degs, axis_name, lmk_sharded)
@@ -988,8 +1002,9 @@ def _accel_step(
 
     cand = _apply_mean_shift(state, graph, cfg, gain * dc_mu, gain * dl_mu,
                              degs, axis_name, lmk_sharded)
-    better = map_cost(cand, graph, cfg, axis_name, lmk_sharded) <= map_cost(
-        state, graph, cfg, axis_name, lmk_sharded)
+    cost_cand = map_cost(cand, graph, cfg, axis_name, lmk_sharded)
+    cost_cur = map_cost(state, graph, cfg, axis_name, lmk_sharded)
+    better = cost_cand <= cost_cur
     accept = lambda a, b: jnp.where(better, a, b)   # noqa: E731
     state = jax.tree.map(accept, cand, state)
 
@@ -999,7 +1014,7 @@ def _accel_step(
     jump_c = jnp.where(better, gain * dc_mu, 0.0)
     jump_l = jnp.where(better, gain * dl_mu, 0.0)
     snap = (avg_cam + jump_c, avg_lmk + jump_l, dc_mu)
-    return state, snap
+    return state, snap, jnp.where(better, cost_cand, cost_cur)
 
 
 def run_gbp(
@@ -1118,7 +1133,7 @@ def run_gbp(
     ce = cfg.accel_every
 
     def finish(diag_parts):
-        if not with_diagnostics:
+        if not with_diagnostics or not diag_parts:   # n_iters == 0 -> None
             return None
         if len(diag_parts) == 1:
             return diag_parts[0]
@@ -1140,22 +1155,19 @@ def run_gbp(
     def chunk_body(carry, c):
         s, snap = carry
 
-        # Chunk-AVERAGED means for the rate estimate (cancels edge
-        # oscillation) when diagnostics already pay for per-sweep means;
-        # endpoint means on the hot path (the accelerator's alignment gate
-        # + cost accept still guard the noisier estimate).
-        s, diag, sums = hot_scan(s, ce, with_diagnostics)
-        if sums is not None:
-            avg = (sums[0] / ce, sums[1] / ce)
-        else:
-            mc, ml = _variable_means(s)
-            avg = (jnp.nan_to_num(mc, nan=0.0, posinf=0.0, neginf=0.0),
-                   jnp.nan_to_num(ml, nan=0.0, posinf=0.0, neginf=0.0))
+        # Chunk-AVERAGED means for the rate estimate, ALWAYS (cancels edge
+        # oscillation — endpoint deltas have cos^2 < 0.5 on fr1desk, see
+        # _accel_step). The accumulation must not depend on
+        # with_diagnostics, or a telemetry flag would change the accepted
+        # jumps and hence the solver's trajectory.
+        s, diag, sums = hot_scan(s, ce, True)
+        avg = (sums[0] / ce, sums[1] / ce)
         it_end = c * ce + ce + off2
-        s2, snap2 = _accel_step(s, snap, avg, graph, cfg, degs, axis_name,
-                                lmk_sharded)
+        s2, snap2, cost2 = _accel_step(s, snap, avg, graph, cfg, degs,
+                                       axis_name, lmk_sharded)
         if cfg.coarse_groups > 0:
-            s2 = _coarse_step(s2, graph, cfg, degs, axis_name, lmk_sharded)
+            s2 = _coarse_step(s2, graph, cfg, degs, axis_name, lmk_sharded,
+                              cost=cost2)
         live = it_end >= cfg.accel_start
         s = jax.tree.map(lambda a, b: jnp.where(live, a, b), s2, s)
         snap = jax.tree.map(lambda a, b: jnp.where(live, a, b), snap2,

@@ -137,7 +137,8 @@ def insert_keyframe(
 
     # Refresh beliefs with the new priors (NEW_KEYFRAME runs prog_ub,
     # slam.cpp:946-948), then linearise the just-activated factors at them.
-    state = gbp.update_beliefs(state, graph, axis_name, lmk_sharded)
+    state = gbp.update_beliefs(state, graph, axis_name, lmk_sharded,
+                               gbp._interpret(cfg))
     return gbp.relinearise_masked(state, graph, cfg, newly_active)
 
 

@@ -65,8 +65,7 @@ def main(argv=None) -> int:
     graph = build_graph(problem, cfg)
     if args.resume:
         state, g2, meta = checkpoint.load_checkpoint(args.resume)
-        if g2 is not None:
-            graph = g2
+        graph = common.resume_graph(graph, g2)
         start_iter = meta.get("step", 0)
         print(f"resumed from {args.resume} at iter {start_iter}",
               file=sys.stderr)

@@ -142,3 +142,40 @@ def print_iteration(i: int, err: float, cost: float,
     # telemetry line format follows the reference (ba/ba.cpp:1026-1028)
     print(f"iter {i:5d}  reproj_err {err:10.5f} px  cost {cost:14.4f}  "
           f"relins {n_relins:5d}  robust {n_robust:5d}", flush=True)
+
+
+def resume_graph(built, loaded):
+    """Pick the graph to run with after a checkpoint load.
+
+    Checkpoints persist only the PLAIN graph arrays; the derived
+    accelerator structures (cam_onehot, BlockedIndex windows for the fused
+    sweep kernel) are dropped at save time (utils/checkpoint.py) on the
+    premise that build_graph recreates them. Running with the loaded graph
+    directly would therefore silently disable the fused kernel — a
+    multi-x slowdown AND a different fp32 reduction order than the
+    uninterrupted run. When the loaded plain arrays match the freshly
+    built graph (the normal case: same BAL file + config), use the BUILT
+    graph, derived structures included. On a genuine mismatch the loaded
+    graph is authoritative — keep it and warn that the fused path is off.
+    """
+    import sys
+
+    import numpy as np
+
+    if loaded is None:
+        return built
+
+    def _same(f):
+        a, b = getattr(built, f), getattr(loaded, f)
+        return (getattr(a, "shape", None) == getattr(b, "shape", None)
+                and bool(np.array_equal(np.asarray(a), np.asarray(b))))
+
+    plain = [f for f in type(built)._fields
+             if getattr(loaded, f) is not None
+             and hasattr(getattr(loaded, f), "shape")]
+    if all(_same(f) for f in plain):
+        return built
+    print("warning: checkpoint graph differs from the one built from "
+          "--bal_file; running with the checkpoint graph (fused sweep "
+          "kernel and blocked reductions disabled)", file=sys.stderr)
+    return loaded

@@ -100,7 +100,14 @@ class _MapShardedSlam:
             graph, state = self._solver.prepare(self._graph_raw, state)
         self.graph = graph
         self.initialiser = lambda s: self._solver.initialise(s, graph)
-        self.runner = lambda s: self._solver.run(s, graph, self._ibk)
+        # Explicit STATIC warm: inside shard_map the iter_offset is traced,
+        # and run_gbp with a traced offset and no warm runs EVERY sweep
+        # through the annealing body — the accel/coarse hot path would be
+        # unreachable and multi-chip SLAM would silently run a different
+        # algorithm than single-chip (whose offset is a static 0).
+        warm = min(self._ibk, max(0, 2 * self._solver.cfg.steps))
+        self.runner = lambda s: self._solver.run(s, graph, self._ibk,
+                                                 0, warm)
         self.inserter = lambda s, k: self._solver.insert_keyframe(
             s, graph, k, self._av_depth)
         return state
@@ -149,9 +156,14 @@ def main(argv=None) -> int:
                   f"{ck_devices}, run has --devices {args.devices}",
                   file=sys.stderr)
             return 2
-        if g2 is not None:
-            graph = g2
         resumed_partitioned = ck_devices > 1
+        if resumed_partitioned:
+            # map-sharded checkpoints are block-local partitioned layouts;
+            # the built (global-layout) graph does not apply
+            if g2 is not None:
+                graph = g2
+        else:
+            graph = common.resume_graph(graph, g2)
         start_kf = meta.get("kf", meta.get("step", 0) // ibk + 1)
         print(f"resumed from {args.resume} at keyframe {start_kf}",
               file=sys.stderr)

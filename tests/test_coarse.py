@@ -89,3 +89,34 @@ def test_coarse_step_monotone_cost(prob):
     s2 = gbp._coarse_step(state, graph, cfg, degs, None, False)
     c1 = float(gbp.map_cost(s2, graph, cfg))
     assert np.isfinite(c1) and c1 <= c0 + 1e-3
+
+
+def test_degenerate_edge_does_not_poison_increment(prob):
+    """One edge whose landmark grazes the camera plane (|z| ~ 0, Jacobian
+    overflows to inf) must drop only ITSELF from the reduced system — not
+    NaN-poison the assembly and zero the entire correction."""
+    cfg = GBPConfig(coarse_groups=3, edge_pad_multiple=64)
+    graph = build_graph(prob, cfg)
+    state = init_state(prob, cfg)
+    state = gbp.initialise(state, graph, cfg)
+    cam_mu, lmk_mu = gbp._variable_means(state)
+    cam_mu, lmk_mu = cam_mu + 0.3, lmk_mu + 0.3   # off-optimum: nonzero d
+    d0, _ = coarse.coarse_increment(state, graph, cfg, cam_mu, lmk_mu)
+    ref = float(jnp.abs(d0).max())
+    assert ref > 0.05
+
+    # move edge 0's landmark onto its camera's plane: z_cam ~ 1e-30
+    e = 0
+    ci = int(graph.cam_idx[e])
+    li = int(graph.lmk_idx[e])
+    x = np.asarray(cam_mu)[:, ci]
+    r = np.asarray(lie.so3_exp(jnp.asarray(x[3:])))
+    y_plane = r.T @ (np.array([0.1, 0.1, 1e-30], np.float32) - x[:3])
+    lmk_np = np.asarray(lmk_mu).copy()
+    lmk_np[:, li] = y_plane
+    d1, dl1 = coarse.coarse_increment(state, graph, cfg, cam_mu,
+                                      jnp.asarray(lmk_np))
+    assert np.isfinite(np.asarray(d1)).all()
+    assert np.isfinite(np.asarray(dl1)).all()
+    # the correction survives (same order of magnitude, not zeroed)
+    assert float(jnp.abs(d1).max()) > 0.2 * ref

@@ -148,3 +148,39 @@ def test_bench_emits_json(tiny_bal):
     data = json.loads(r.stdout.strip().splitlines()[-1])
     assert set(data) == {"metric", "value", "unit", "vs_baseline"}
     assert data["value"] > 0 and data["unit"] == "sweeps/s"
+
+
+def test_resume_graph_keeps_derived_structures(tiny_bal, tmp_path):
+    """Resuming must not silently drop the derived accelerator structures
+    (fused-kernel windows, one-hot): checkpoints persist only plain graph
+    arrays, so the driver must keep the freshly BUILT graph when the
+    checkpointed plain arrays match it — and fall back to the checkpoint's
+    graph (with a warning) only on a genuine mismatch."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from gbp_poplar_tpu.config import GBPConfig
+    from gbp_poplar_tpu.core import build_graph, init_state
+    from gbp_poplar_tpu.drivers import common
+    from gbp_poplar_tpu.utils import checkpoint
+
+    prob = balio.load_bal(tiny_bal)
+    cfg = GBPConfig()
+    built = build_graph(prob, cfg)
+    state = init_state(prob, cfg)
+    path = str(tmp_path / "g.npz")
+    checkpoint.save_checkpoint(path, state, built, step=7, cfg=cfg)
+    _, loaded, _ = checkpoint.load_checkpoint(path)
+    # round-trip drops the BlockedIndex windows (the fused-kernel gate)...
+    assert loaded.cam_win is None and loaded.lmk_win is None
+    assert built.cam_win is not None
+    # ...and resume_graph restores them by keeping the built graph
+    g = common.resume_graph(built, loaded)
+    assert g is built
+    # a genuinely different graph is kept as-is (authoritative)
+    tampered = loaded._replace(
+        cam_idx=jnp.roll(loaded.cam_idx, 1))
+    g2 = common.resume_graph(built, tampered)
+    assert g2 is tampered

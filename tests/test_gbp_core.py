@@ -189,3 +189,77 @@ def test_solve_runs_and_is_finite(synthetic):
     errs = np.asarray(diag.reproj_err)
     assert np.isfinite(errs).all()
     assert errs[-1] < errs[0]
+
+
+def test_diagnostics_flag_does_not_change_solution(synthetic):
+    """with_diagnostics is telemetry only: the solver trajectory — including
+    the accelerator's chunk-averaged displacement estimate — must be
+    bit-identical with it on or off."""
+    cfg = GBPConfig(accel_every=8, accel_start=10)
+    graph = build_graph(synthetic, cfg)
+    state0 = gbp.initialise(init_state(synthetic, cfg), graph, cfg)
+    s_on, d = jax.jit(
+        lambda s: gbp.run_gbp(s, graph, cfg, 40, with_diagnostics=True))(
+            state0)
+    s_off, _ = jax.jit(
+        lambda s: gbp.run_gbp(s, graph, cfg, 40, with_diagnostics=False))(
+            state0)
+    assert np.isfinite(np.asarray(d.reproj_err)).all()
+    for a, b in zip(jax.tree.leaves(s_on), jax.tree.leaves(s_off)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_run_gbp_zero_iters(synthetic):
+    """n_iters=0 is a no-op returning the state unchanged and None
+    diagnostics (not a tree.map crash on an empty list)."""
+    cfg = GBPConfig()
+    graph = build_graph(synthetic, cfg)
+    state0 = gbp.initialise(init_state(synthetic, cfg), graph, cfg)
+    s, diag = gbp.run_gbp(state0, graph, cfg, 0, with_diagnostics=True)
+    assert diag is None
+    for a, b in zip(jax.tree.leaves(s), jax.tree.leaves(state0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_relinearise_masked_depth_guard_sidedness(synthetic):
+    """relinearise_masked applies the SAME depth-guard sidedness as the
+    sweep: with relin_behind_camera=False a linearisation at a
+    behind-camera mean is refused (SLAM insertion must not adopt the
+    wrong-signed factors the one-sided guard exists to block)."""
+    from gbp_poplar_tpu.ops import lie
+
+    base = dict(min_depth=0.05)
+    cfg_two = GBPConfig(relin_behind_camera=True, **base)
+    cfg_one = GBPConfig(relin_behind_camera=False, **base)
+    graph = build_graph(synthetic, cfg_two)
+    state = gbp.initialise(init_state(synthetic, cfg_two), graph, cfg_two)
+
+    # pin edge 0's landmark belief to a point 1 m BEHIND its camera
+    e = 0
+    ci = int(graph.cam_idx[e])
+    li = int(graph.lmk_idx[e])
+    cam_mu, _ = gbp._variable_means(state)
+    x = np.asarray(cam_mu)[:, ci]                      # (t, w)
+    r = np.asarray(lie.so3_exp(jnp.asarray(x[3:])))
+    y_behind = r.T @ (np.array([0.0, 0.0, -1.0], np.float32) - x[:3])
+    lam = 1e4
+    lmk_eta = np.asarray(state.lmk_eta).copy()
+    lmk_lam = np.asarray(state.lmk_lam).copy()
+    dense = np.zeros((3, 3), np.float32)
+    np.fill_diagonal(dense, lam)
+    lmk_lam[:, li] = np.asarray(
+        pl.dense_to_sym_planes(jnp.asarray(dense)[None], 3))[:, 0]
+    lmk_eta[:, li] = lam * y_behind
+    state = state._replace(lmk_eta=jnp.asarray(lmk_eta),
+                           lmk_lam=jnp.asarray(lmk_lam))
+
+    mask = jnp.zeros((graph.n_edges,), bool).at[e].set(True)
+    before = np.asarray(state.f_lam_cc[:, e])
+    after_two = np.asarray(
+        gbp.relinearise_masked(state, graph, cfg_two, mask).f_lam_cc[:, e])
+    after_one = np.asarray(
+        gbp.relinearise_masked(state, graph, cfg_one, mask).f_lam_cc[:, e])
+    # two-sided guard (|z| > min_depth): z = -1 passes, factor adopted
+    assert not np.array_equal(after_two, before)
+    # one-sided guard (z > min_depth): refused, factor unchanged
+    np.testing.assert_array_equal(after_one, before)
