@@ -107,6 +107,22 @@ def main(argv=None) -> int:
             common.print_iteration(i + j, errs[j], costs[j],
                                    int(relins[j]), int(robusts[j]))
         i += n
+        # Independent host oracle at chunk cadence (the reference recomputes
+        # the error host-side EVERY iteration from streamed beliefs,
+        # ba/util.cpp:74-144; the device telemetry shares ops.planes with
+        # the solver, so this cross-check uses the from-scratch NumPy
+        # implementation). Silent when it agrees; loud when it does not.
+        # Tolerance note: the state here is post-accel/coarse boundary while
+        # errs[-1] is the last in-chunk sweep, so the comparison carries the
+        # (cost-decreasing) boundary jump — loose enough to stay silent
+        # through it, tight enough to catch genuine device-math corruption.
+        h_mu = analysis.belief_means(state)
+        h_err, _ = evaluation.numpy_reprojection_error(*h_mu, problem)
+        dev_err = float(errs[-1])
+        if not (abs(h_err - dev_err) <= max(0.25, 0.05 * abs(dev_err))):
+            print(f"WARNING: host oracle disagrees at iter {i}: "
+                  f"device {dev_err:.5f} px vs host {h_err:.5f} px",
+                  file=sys.stderr)
         if args.checkpoint and args.checkpoint_every and (
                 i % args.checkpoint_every < chunk):
             checkpoint.save_checkpoint(args.checkpoint, solver.unprep(state),

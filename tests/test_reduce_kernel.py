@@ -88,3 +88,38 @@ def test_blocked_gather_matches_take():
     got = np.asarray(rk.blocked_gather(src, jnp.asarray(idx_pad), b, interpret=INTERP))
     ref = np.asarray(jnp.take(src, jnp.asarray(idx), axis=1))
     np.testing.assert_array_equal(got[:, :e], ref)
+
+
+def test_update_beliefs_blocked_path_interpret(monkeypatch):
+    """cfg.use_pallas='interpret' must reach the blocked reductions INSIDE
+    update_beliefs (not only the sweep kernels): with the blocked-reduce
+    threshold forced low, a graph carrying BlockedIndex structures must
+    produce the same beliefs as the segment_sum path on a CPU backend."""
+    import jax
+
+    from gbp_poplar_tpu.config import GBPConfig
+    from gbp_poplar_tpu.core import factor_graph, gbp
+    from gbp_poplar_tpu.utils import balio
+
+    monkeypatch.setattr(factor_graph, "BLOCKED_REDUCE_MIN_EDGES", 1)
+    monkeypatch.setattr(factor_graph, "CAM_ONEHOT_MAX_BYTES", 0)
+    prob = balio.synthetic_problem(n_keyframes=4, n_points=40, seed=1,
+                                   pixel_noise=0.5)
+    cfg = GBPConfig(use_pallas="interpret", edge_pad_multiple=64)
+    graph = factor_graph.build_graph(prob, cfg)
+    assert graph.lmk_blocked is not None and graph.cam_blocked is not None
+    state = factor_graph.init_state(prob, cfg)
+    state = gbp.initialise(state, graph, cfg)
+    rng = np.random.default_rng(0)
+    state = state._replace(
+        msg_c_eta=jnp.asarray(
+            rng.normal(size=state.msg_c_eta.shape).astype(np.float32)),
+        msg_l_eta=jnp.asarray(
+            rng.normal(size=state.msg_l_eta.shape).astype(np.float32)))
+    got = gbp.update_beliefs(state, graph, interpret=True)
+    plain = graph._replace(cam_blocked=None, lmk_blocked=None)
+    want = gbp.update_beliefs(state, plain)
+    np.testing.assert_allclose(np.asarray(got.cam_eta),
+                               np.asarray(want.cam_eta), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.lmk_eta),
+                               np.asarray(want.lmk_eta), rtol=0, atol=1e-5)
