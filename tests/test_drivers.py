@@ -184,3 +184,16 @@ def test_resume_graph_keeps_derived_structures(tiny_bal, tmp_path):
         cam_idx=jnp.roll(loaded.cam_idx, 1))
     g2 = common.resume_graph(built, tampered)
     assert g2 is tampered
+
+
+def test_slam_cli_polish(tiny_bal, tmp_path):
+    traj = str(tmp_path / "t.txt")
+    r = _run("gbp_poplar_tpu.drivers.slam",
+             "--bal_file", tiny_bal, "--iters_between_kfs", "60",
+             "--print_every", "30", "--polish", "--save_traj", traj)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "polish: reproj" in r.stderr
+    pol = float(r.stderr.split("polish: reproj ")[1].split(" px")[0])
+    fin = float(r.stderr.split("final reprojection error: ")[1].split(" px")[0])
+    assert pol <= fin + 0.05       # refinement does not degrade the fit
+    assert np.loadtxt(traj).shape == (5, 8)
