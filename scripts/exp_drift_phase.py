@@ -84,15 +84,21 @@ def report(tag, final, err):
     return ate, c / c_gn
 
 
-def run_two_phase(n1):
-    """n1 iters with drift on, rest with drift off (same state)."""
-    st = gbp.initialise(init_state(prob, cfg_on), graph, cfg_on)
+def run_two_phase(n1, reverse=False):
+    """n1 iters in phase-1 config, rest in phase-2 (same state).
+
+    Default: drift ON first, OFF after. ``reverse``: OFF first, ON after —
+    tests whether sparing the early basin walk (smooth modes move fastest
+    in the first few hundred sweeps) while keeping the late-solve
+    oscillation protection gets the best of both."""
+    a, b = (cfg_off, cfg_on) if reverse else (cfg_on, cfg_off)
+    st = gbp.initialise(init_state(prob, a), graph, a)
     if n1 > 0:
-        st, d1 = jax.jit(lambda s: gbp.run_gbp(s, graph, cfg_on, n1))(st)
+        st, d1 = jax.jit(lambda s: gbp.run_gbp(s, graph, a, n1))(st)
     n2 = n_total - n1
     if n2 > 0:
         st, d2 = jax.jit(lambda s: gbp.run_gbp(
-            s, graph, cfg_off, n2, iter_offset=n1))(st)
+            s, graph, b, n2, iter_offset=n1))(st)
         err = float(np.asarray(d2.reproj_err)[-1])
     else:
         err = float(np.asarray(d1.reproj_err)[-1])
@@ -101,7 +107,9 @@ def run_two_phase(n1):
 
 
 print(f"GN: {float(res_gn.reproj_err[-1]):.4f} px, cost {c_gn:.1f}")
-for n1, tag in ((n_total, "drift always"), (0, "drift never"),
-                (n_phase1, f"drift first {n_phase1}")):
-    st, err = run_two_phase(n1)
+for n1, rev, tag in ((n_total, False, "drift always"),
+                     (0, False, "drift never"),
+                     (n_phase1, False, f"drift first {n_phase1}"),
+                     (n_phase1, True, f"drift AFTER {n_phase1}")):
+    st, err = run_two_phase(n1, rev)
     report(tag, st, err)
