@@ -111,8 +111,10 @@ def coarse_increment(
     # --- per-edge reduced Jacobians and residuals (Huber-IRLS weights) ---
     cam_e = camr[graph.cam_idx]                       # [E, 6]
     lmk_e = lmkr[graph.lmk_idx]                       # [E, 3]
-    j_c, j_l = projection.reproj_jacobians(cam_e, lmk_e, graph.k)
-    r = graph.meas.T - projection.project(cam_e, lmk_e, graph.k)   # [E, 2]
+    intr_e = None if graph.intr is None else graph.intr.T
+    j_c, j_l = projection.reproj_jacobians(cam_e, lmk_e, graph.k, intr_e)
+    r = graph.meas.T - projection.project(cam_e, lmk_e, graph.k,
+                                          intr_e)    # [E, 2]
     err = jnp.linalg.norm(r, axis=-1)
     var, _ = projection.huber_meas_var(err, graph.meas_var, cfg.huber_nstds)
     # one degenerate edge (landmark grazing the camera plane: j ~ fx/z

@@ -46,6 +46,11 @@ class GBPGraph(NamedTuple):
     meas: jax.Array         # [2, E] — observed pixel coords (u, v planes)
     meas_var: jax.Array     # [E] — base measurement variance (pre-Huber)
     k: jax.Array            # [3, 3] shared intrinsics
+    intr: jax.Array | None  # [3, E] per-edge Snavely/BAL intrinsics
+                            # (f, k1, k2 planes, gathered per camera at
+                            # build) — present iff the problem uses the
+                            # Snavely camera model; None selects the shared
+                            # pinhole K everywhere (static under jit)
     cam_scaling: jax.Array  # [C] prior-annealing scaling per keyframe
     lmk_scaling: jax.Array  # [L] prior-annealing scaling per landmark
     first_kf: jax.Array     # [L] int32 — first keyframe observing each
@@ -131,7 +136,7 @@ STATE_EDGE_FIELDS = (
     "msg_c_eta", "msg_c_lam", "msg_l_eta", "msg_l_lam",
     "damping", "damping_count", "mu", "lin_mu", "robust", "active",
 )
-GRAPH_EDGE_FIELDS = ("cam_idx", "lmk_idx", "meas", "meas_var")
+GRAPH_EDGE_FIELDS = ("cam_idx", "lmk_idx", "meas", "meas_var", "intr")
 
 
 # Build the camera one-hot reduction matrix only below this size (fp32
@@ -196,6 +201,14 @@ def build_graph(
     lmk_idx = np.pad(lmk_idx_o, (0, pad))
     meas = np.pad(np.asarray(problem.measurements)[order].T,
                   [(0, 0), (0, pad)])
+    intr = None
+    if getattr(problem, "intrinsics", None) is not None:
+        # Snavely model: per-edge (f, k1, k2) planes. Padding edges reuse
+        # camera 0's intrinsics — they are INACTIVE but the masked dense
+        # linearisation still evaluates them, and f != 0 keeps it finite.
+        per_cam = np.asarray(problem.intrinsics)
+        intr = jnp.asarray(
+            per_cam[np.pad(cam_idx_o, (0, pad))].T, dtype)   # [3, e_pad]
     cam_onehot = None
     if e_pad * c * 4 <= CAM_ONEHOT_MAX_BYTES:
         onehot = (cam_idx_o[:, None] == np.arange(c)[None, :])
@@ -224,6 +237,7 @@ def build_graph(
         meas=jnp.asarray(meas, dtype),
         meas_var=jnp.full((e_pad,), cfg.meas_var, dtype),
         k=jnp.asarray(problem.k, dtype),
+        intr=intr,
         cam_scaling=pr["cam_scaling"],
         lmk_scaling=pr["lmk_scaling"],
         first_kf=jnp.asarray(first_kf),

@@ -117,8 +117,9 @@ def _build(
     c, l = graph.n_keyframes, graph.n_points
     cam_e = cam[graph.cam_idx]
     lmk_e = lmk[graph.lmk_idx]
-    j_c, j_l = projection.reproj_jacobians(cam_e, lmk_e, graph.k)
-    r = graph.meas.T - projection.project(cam_e, lmk_e, graph.k)  # meas is [2,E] planes
+    intr_e = None if graph.intr is None else graph.intr.T     # [E, 3]
+    j_c, j_l = projection.reproj_jacobians(cam_e, lmk_e, graph.k, intr_e)
+    r = graph.meas.T - projection.project(cam_e, lmk_e, graph.k, intr_e)
     w_e = _weights(r, graph.meas_var, nstds)[:, None, None]   # [E,1,1]
 
     jtj_cc = linalg.bmm(linalg.transpose(j_c), j_c) * w_e     # [E,6,6]
@@ -240,15 +241,17 @@ def solve_lm(
     """
     nstds = cfg.huber_nstds
 
+    intr_e = None if graph.intr is None else graph.intr.T
+
     def total_cost(cam, lmk):
         r = graph.meas.T - projection.project(
-            cam[graph.cam_idx], lmk[graph.lmk_idx], graph.k)
+            cam[graph.cam_idx], lmk[graph.lmk_idx], graph.k, intr_e)
         return _robust_cost(r, graph.meas_var, nstds) + _prior_cost(
             cam, lmk, priors)
 
     def mean_err(cam, lmk):
         r = graph.meas.T - projection.project(
-            cam[graph.cam_idx], lmk[graph.lmk_idx], graph.k)
+            cam[graph.cam_idx], lmk[graph.lmk_idx], graph.k, intr_e)
         return jnp.mean(jnp.linalg.norm(r, axis=-1))
 
     def body(carry, _):

@@ -118,7 +118,8 @@ def _linearise_planes(state: GBPState, graph: GBPGraph, cfg: GBPConfig):
     eta_c, eta_l, lam_cc, lam_cl, lam_ll, robust = pl.linearise(
         pl.unpack_vec(mu_c, 6), pl.unpack_vec(mu_l, 3), graph.k,
         graph.meas[0:1], graph.meas[1:2], graph.meas_var[None],
-        cfg.huber_nstds)
+        cfg.huber_nstds,
+        None if graph.intr is None else pl.unpack_vec(graph.intr, 3))
     return (pl.pack_vec(eta_c), pl.pack_vec(eta_l),
             pl.pack_sym(lam_cc, 6), pl.pack_full(lam_cl),
             pl.pack_sym(lam_ll, 3), robust[0],
@@ -262,7 +263,7 @@ def edge_math(
     f_eta_c0, f_eta_l0, f_lam_cc0, f_lam_cl0, f_lam_ll0,
     msg_c_eta0, msg_c_lam0, msg_l_eta0, msg_l_lam0,
     damping0, damping_count0, mu0, lin_mu0, robust0, active_i,
-    k, cfg: GBPConfig,
+    k, cfg: GBPConfig, intr=None,
 ):
     """The complete per-edge GBP sweep body on plane arrays.
 
@@ -310,9 +311,10 @@ def edge_math(
 
     # relinearisation candidates at current belief means
     meas_u, meas_v = pl.unpack_vec(meas, 2)
+    intr_rows = None if intr is None else pl.unpack_vec(intr, 3)
     eta_c_n, eta_l_n, lam_cc_n, lam_cl_n, lam_ll_n, robust_new = pl.linearise(
         mu_c_rows, mu_l_rows, k,
-        meas_u, meas_v, meas_var, cfg.huber_nstds)
+        meas_u, meas_v, meas_var, cfg.huber_nstds, intr_rows)
     pot_eta_c = pl.pack_vec(eta_c_n)
     pot_eta_l = pl.pack_vec(eta_l_n)
     pot_lam_cc = pl.pack_sym(lam_cc_n, 6)
@@ -544,9 +546,10 @@ def gbp_sweep(
     if use_pallas:
         from ..ops.sweep_kernel import sweep_edge_math_pallas
         outs = sweep_edge_math_pallas(inputs, graph.k, cfg,
-                                      interpret=cfg.use_pallas == "interpret")
+                                      interpret=cfg.use_pallas == "interpret",
+                                      intr=graph.intr)
     else:
-        outs = edge_math(*inputs, graph.k, cfg)
+        outs = edge_math(*inputs, graph.k, cfg, intr=graph.intr)
 
     (f_eta_c, f_eta_l, f_lam_cc, f_lam_cl, f_lam_ll,
      msg_c_eta, msg_c_lam, msg_l_eta, msg_l_lam,
@@ -680,7 +683,7 @@ def _gbp_sweep_tables(
         _sweep_inputs(state, graph), cam_tbl, lmk_tbl,
         graph.cam_idx, graph.lmk_idx,
         graph.cam_win, graph.lmk_win, graph.k, cfg,
-        interpret=_interpret(cfg), var_major=True)
+        interpret=_interpret(cfg), var_major=True, intr=graph.intr)
     state = _apply_sweep_outputs(state, outs)
     cam_tbl = combine_grid_var(cam_part, graph.cam_win,
                                cam_prior_tbl.shape[0]) + cam_prior_tbl
@@ -706,7 +709,7 @@ def _gbp_sweep_fused(
         _sweep_inputs(state, graph), cam_tbl, lmk_tbl,
         graph.cam_idx, graph.lmk_idx,
         graph.cam_win, graph.lmk_win, graph.k, cfg,
-        interpret=_interpret(cfg))
+        interpret=_interpret(cfg), intr=graph.intr)
     state = _apply_sweep_outputs(state, outs)
 
     cam_sum = combine_grid(cam_part, graph.cam_win, c)        # [27, C]
@@ -742,8 +745,9 @@ def reprojection_error(
     cam_mu, lmk_mu = _variable_means(state)
     mu_c = jnp.take(cam_mu, graph.cam_idx, axis=1)
     mu_l = jnp.take(lmk_mu, graph.lmk_idx, axis=1)
-    (u, v), _, _ = pl.project(pl.unpack_vec(mu_c, 6), pl.unpack_vec(mu_l, 3),
-                              graph.k)
+    (u, v), _, _ = pl.project(
+        pl.unpack_vec(mu_c, 6), pl.unpack_vec(mu_l, 3), graph.k,
+        None if graph.intr is None else pl.unpack_vec(graph.intr, 3))
     ru = graph.meas[0] - u
     rv = graph.meas[1] - v
     norm = jnp.sqrt(ru * ru + rv * rv)
@@ -832,8 +836,9 @@ def map_cost(
     cam_mu, lmk_mu = _variable_means(state)
     mu_c = jnp.take(cam_mu, graph.cam_idx, axis=1)
     mu_l = jnp.take(lmk_mu, graph.lmk_idx, axis=1)
-    (u, v), _, _ = pl.project(pl.unpack_vec(mu_c, 6), pl.unpack_vec(mu_l, 3),
-                              graph.k)
+    (u, v), _, _ = pl.project(
+        pl.unpack_vec(mu_c, 6), pl.unpack_vec(mu_l, 3), graph.k,
+        None if graph.intr is None else pl.unpack_vec(graph.intr, 3))
     ru = graph.meas[0] - u
     rv = graph.meas[1] - v
     err2 = (ru * ru + rv * rv) / graph.meas_var

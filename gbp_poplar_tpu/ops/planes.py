@@ -375,13 +375,28 @@ def w2c_apply(cam: list[jax.Array], y: list[jax.Array]):
     return y_cf, r
 
 
-def project(cam: list[jax.Array], lmk: list[jax.Array], k: jax.Array):
-    """(u, v) pixel planes + (y_cf, R) intermediates
-    (ba/bafuncs.cpp:82-103)."""
+def project(cam: list[jax.Array], lmk: list[jax.Array], k: jax.Array,
+            intr: list[jax.Array] | None = None):
+    """(u, v) pixel planes + (y_cf, R) intermediates.
+
+    ``intr`` = None: shared pinhole K (ba/bafuncs.cpp:82-103).
+    ``intr`` = [f, k1, k2] per-edge planes: the Snavely/BAL camera model
+    (per-camera focal + two radial-distortion coefficients, camera looks
+    down -z): p = -y_cf / z, uv = f (1 + k1 |p|^2 + k2 |p|^4) p.
+    """
     y_cf, r = w2c_apply(cam, lmk)
     inv_z = 1.0 / y_cf[2]
-    u = k[0, 0] * y_cf[0] * inv_z + k[0, 2]
-    v = k[1, 1] * y_cf[1] * inv_z + k[1, 2]
+    if intr is None:
+        u = k[0, 0] * y_cf[0] * inv_z + k[0, 2]
+        v = k[1, 1] * y_cf[1] * inv_z + k[1, 2]
+    else:
+        f, d1, d2 = intr
+        px = -y_cf[0] * inv_z
+        py = -y_cf[1] * inv_z
+        rho = px * px + py * py
+        dist = 1.0 + rho * (d1 + d2 * rho)
+        u = f * dist * px
+        v = f * dist * py
     return (u, v), y_cf, r
 
 
@@ -393,24 +408,46 @@ def linearise(
     meas_v: jax.Array,           # [E]
     meas_var: jax.Array,         # [E]
     nstds: float,
+    intr: list[jax.Array] | None = None,   # Snavely [f, k1, k2] planes
 ):
     """Fused reprojection-factor relinearisation in planes.
 
     Returns (eta_c[6], eta_l[3], lam_cc mat6, lam_cl mat6x3, lam_ll mat3,
     robust [E]) — the body of RelineariseFactorVertex
-    (ba/gbp_codelets.cpp:38-171) batched over all edges.
+    (ba/gbp_codelets.cpp:38-171) batched over all edges. With ``intr``
+    the measurement head is the Snavely/BAL model (see :func:`project`);
+    everything from j_proj down (pose/landmark chain rule, Huber,
+    potential assembly) is model-independent.
     """
-    (u, v), y_cf, r = project(cam, lmk, k)
-    fx, fy = k[0, 0], k[1, 1]
+    (u, v), y_cf, r = project(cam, lmk, k, intr)
     inv_z = 1.0 / y_cf[2]
     inv_z2 = inv_z * inv_z
     zero = jnp.zeros_like(u)
 
-    # d(u,v)/dy_cam (ba/bafuncs.cpp:134-140)
-    j_proj = [
-        [fx * inv_z, zero, -fx * y_cf[0] * inv_z2],
-        [zero, fy * inv_z, -fy * y_cf[1] * inv_z2],
-    ]
+    if intr is None:
+        # d(u,v)/dy_cam (ba/bafuncs.cpp:134-140)
+        fx, fy = k[0, 0], k[1, 1]
+        j_proj = [
+            [fx * inv_z, zero, -fx * y_cf[0] * inv_z2],
+            [zero, fy * inv_z, -fy * y_cf[1] * inv_z2],
+        ]
+    else:
+        # Snavely chain rule: uv = f dist(rho) p with p = -y/z,
+        # rho = |p|^2, dist = 1 + k1 rho + k2 rho^2,
+        # d uv/dy = f (dist dp/dy + p (k1 + 2 k2 rho) drho/dy)
+        f, d1, d2 = intr
+        px = -y_cf[0] * inv_z
+        py = -y_cf[1] * inv_z
+        rho = px * px + py * py
+        dist = 1.0 + rho * (d1 + d2 * rho)
+        g = d1 + 2.0 * d2 * rho
+        dpx = [-inv_z, zero, y_cf[0] * inv_z2]
+        dpy = [zero, -inv_z, y_cf[1] * inv_z2]
+        drho = [2.0 * (px * dpx[i] + py * dpy[i]) for i in range(3)]
+        j_proj = [
+            [f * (dist * dpx[i] + px * g * drho[i]) for i in range(3)],
+            [f * (dist * dpy[i] + py * g * drho[i]) for i in range(3)],
+        ]
 
     # landmark block: J_proj @ R
     j_lmk = matmul(j_proj, r)

@@ -26,7 +26,8 @@ from . import lie
 _SMALL_THETA_SQ = 1e-12
 
 
-def project(cam: jax.Array, lmk: jax.Array, k: jax.Array) -> jax.Array:
+def project(cam: jax.Array, lmk: jax.Array, k: jax.Array,
+            intr: jax.Array | None = None) -> jax.Array:
     """Measurement function h(x): pixel coords of landmark seen by camera.
 
     (reference: ba/bafuncs.cpp:82-103)
@@ -34,29 +35,57 @@ def project(cam: jax.Array, lmk: jax.Array, k: jax.Array) -> jax.Array:
     Args:
       cam: [..., 6] pose (t, w).
       lmk: [..., 3] world point.
-      k:   [3, 3] intrinsics (shared).
+      k:   [3, 3] intrinsics (shared pinhole), ignored when ``intr`` given.
+      intr: [..., 3] per-edge Snavely/BAL intrinsics (f, k1, k2): the
+        camera looks down -z and uv = f (1 + k1 r^2 + k2 r^4) p with
+        p = -(x/z, y/z). No principal point (BAL pixels are centred).
     Returns: [..., 2] (u, v).
     """
     y_cf = lie.w2c_apply(cam, lmk)
-    u = k[0, 0] * (y_cf[..., 0] / y_cf[..., 2]) + k[0, 2]
-    v = k[1, 1] * (y_cf[..., 1] / y_cf[..., 2]) + k[1, 2]
-    return jnp.stack([u, v], axis=-1)
+    if intr is None:
+        u = k[0, 0] * (y_cf[..., 0] / y_cf[..., 2]) + k[0, 2]
+        v = k[1, 1] * (y_cf[..., 1] / y_cf[..., 2]) + k[1, 2]
+        return jnp.stack([u, v], axis=-1)
+    p = -y_cf[..., :2] / y_cf[..., 2:3]
+    rho = jnp.sum(p * p, axis=-1, keepdims=True)
+    dist = 1.0 + rho * (intr[..., 1:2] + intr[..., 2:3] * rho)
+    return intr[..., 0:1] * dist * p
 
 
-def _proj_jacobian(y_cf: jax.Array, k: jax.Array) -> jax.Array:
-    """d(u,v)/d(y_cam): [..., 2, 3] (reference: ba/bafuncs.cpp:134-140)."""
-    fx, fy = k[0, 0], k[1, 1]
+def _proj_jacobian(y_cf: jax.Array, k: jax.Array,
+                   intr: jax.Array | None = None) -> jax.Array:
+    """d(u,v)/d(y_cam): [..., 2, 3] (reference: ba/bafuncs.cpp:134-140;
+    with ``intr``, the Snavely-model chain rule through the distortion)."""
     z = y_cf[..., 2]
     inv_z = 1.0 / z
     inv_z2 = inv_z * inv_z
     zero = jnp.zeros_like(z)
-    row_u = jnp.stack([fx * inv_z, zero, -fx * y_cf[..., 0] * inv_z2], axis=-1)
-    row_v = jnp.stack([zero, fy * inv_z, -fy * y_cf[..., 1] * inv_z2], axis=-1)
+    if intr is None:
+        fx, fy = k[0, 0], k[1, 1]
+        row_u = jnp.stack([fx * inv_z, zero, -fx * y_cf[..., 0] * inv_z2],
+                          axis=-1)
+        row_v = jnp.stack([zero, fy * inv_z, -fy * y_cf[..., 1] * inv_z2],
+                          axis=-1)
+        return jnp.stack([row_u, row_v], axis=-2)
+    f, d1, d2 = intr[..., 0], intr[..., 1], intr[..., 2]
+    px = -y_cf[..., 0] * inv_z
+    py = -y_cf[..., 1] * inv_z
+    rho = px * px + py * py
+    dist = 1.0 + rho * (d1 + d2 * rho)
+    g = d1 + 2.0 * d2 * rho
+    dpx = jnp.stack([-inv_z, zero, y_cf[..., 0] * inv_z2], axis=-1)
+    dpy = jnp.stack([zero, -inv_z, y_cf[..., 1] * inv_z2], axis=-1)
+    drho = 2.0 * (px[..., None] * dpx + py[..., None] * dpy)
+    row_u = f[..., None] * (dist[..., None] * dpx
+                            + (px * g)[..., None] * drho)
+    row_v = f[..., None] * (dist[..., None] * dpy
+                            + (py * g)[..., None] * drho)
     return jnp.stack([row_u, row_v], axis=-2)
 
 
 def reproj_jacobians(
-    cam: jax.Array, lmk: jax.Array, k: jax.Array
+    cam: jax.Array, lmk: jax.Array, k: jax.Array,
+    intr: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Analytic Jacobians of the reprojection h(x) wrt pose and landmark.
 
@@ -72,7 +101,7 @@ def reproj_jacobians(
     """
     r, _ = lie.pose_to_rt(cam)
     y_cf = lie.w2c_apply(cam, lmk)
-    j_proj = _proj_jacobian(y_cf, k)
+    j_proj = _proj_jacobian(y_cf, k, intr)
 
     j_lmk = jnp.einsum("...ij,...jk->...ik", j_proj, r, precision=_PREC)
 
@@ -96,7 +125,8 @@ def reproj_jacobians(
 
 
 def reproj_jacobian_local(
-    cam: jax.Array, lmk: jax.Array, k: jax.Array
+    cam: jax.Array, lmk: jax.Array, k: jax.Array,
+    intr: jax.Array | None = None,
 ) -> jax.Array:
     """Host-style 2x9 Jacobian with the local rotation perturbation.
 
@@ -107,7 +137,7 @@ def reproj_jacobian_local(
     """
     r, _ = lie.pose_to_rt(cam)
     y_cf = lie.w2c_apply(cam, lmk)
-    j_proj = _proj_jacobian(y_cf, k)
+    j_proj = _proj_jacobian(y_cf, k, intr)
     r_lmk = jnp.einsum("...ij,...j->...i", r, lmk, precision=_PREC)
     d_rot = -lie.so3_hat(r_lmk)
     j_rot = jnp.einsum("...ij,...jk->...ik", j_proj, d_rot, precision=_PREC)
@@ -156,6 +186,7 @@ def linearise_factor(
     meas: jax.Array,
     meas_var: jax.Array,
     nstds: float,
+    intr: jax.Array | None = None,
 ) -> tuple[FactorPotential, jax.Array]:
     """Relinearise reprojection factors at the given belief means.
 
@@ -166,8 +197,8 @@ def linearise_factor(
 
     Returns (potential, robust_flag).
     """
-    j_kf, j_lmk = reproj_jacobians(cam_mu, lmk_mu, k)   # [...,2,6], [...,2,3]
-    hx0 = project(cam_mu, lmk_mu, k)                    # [...,2]
+    j_kf, j_lmk = reproj_jacobians(cam_mu, lmk_mu, k, intr)
+    hx0 = project(cam_mu, lmk_mu, k, intr)              # [...,2]
 
     # residual-side vector: J x0 + z - h(x0)   [..., 2]
     jx0 = (

@@ -40,7 +40,8 @@ _OUT_LAYOUT = (
 )
 
 
-def _kernel(cfg: GBPConfig, sub: int, native: tuple, k_ref, *refs):
+def _kernel(cfg: GBPConfig, sub: int, native: tuple, has_intr: bool,
+            k_ref, *refs):
     from ..core.gbp import EDGE_MATH_INPUTS, edge_math
 
     n_in = len(EDGE_MATH_INPUTS)
@@ -48,6 +49,12 @@ def _kernel(cfg: GBPConfig, sub: int, native: tuple, k_ref, *refs):
     # BE/sub) so each logical row fills all `sub` sublanes. With sub == 1
     # the wrapper already bricked the HBM arrays (cheaper at small E, where
     # the whole-array reshape is cheap and the per-block relayout is not).
+    def unbrick(x):
+        if sub > 1:
+            comp, be = x.shape
+            x = x.reshape(comp * sub, be // sub)
+        return x
+
     vals = []
     for j, r in enumerate(refs[:n_in]):
         x = r[...]
@@ -57,19 +64,20 @@ def _kernel(cfg: GBPConfig, sub: int, native: tuple, k_ref, *refs):
             # directly saves two [*, E] relayout copies per sweep in HBM);
             # transpose to planes in VMEM and drop the lane padding
             x = jnp.transpose(x)[:native[j]]
-        if sub > 1:
-            comp, be = x.shape
-            x = x.reshape(comp * sub, be // sub)
-        vals.append(x)
-    outs = edge_math(*vals, k_ref, cfg)
-    for r, o in zip(refs[n_in:], outs):
+        vals.append(unbrick(x))
+    # the optional Snavely intrinsics ride as a trailing plane input so the
+    # in-place aliasing of the 14 state operands keeps its indices
+    intr = unbrick(refs[n_in][...]) if has_intr else None
+    outs = edge_math(*vals, k_ref, cfg, intr=intr)
+    for r, o in zip(refs[n_in + int(has_intr):], outs):
         if sub > 1:
             o = o.reshape(r.shape[0], -1)
         r[...] = o.astype(r.dtype)
 
 
 def sweep_edge_math_pallas(inputs: tuple, k: jax.Array, cfg: GBPConfig,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           intr: jax.Array | None = None):
     """Run core.gbp.edge_math as one blocked Pallas kernel over the edges.
 
     ``inputs`` is the tuple named by core.gbp.EDGE_MATH_INPUTS (plane
@@ -115,6 +123,8 @@ def sweep_edge_math_pallas(inputs: tuple, k: jax.Array, cfg: GBPConfig,
 
     prepped = [prep_native(x) if native and j < 2 else prep(x)
                for j, x in enumerate(inputs)]
+    if intr is not None:
+        prepped.append(prep(intr))
     f = prepped[0].dtype
     dt = {"f": f, "i": jnp.int32, "u": jnp.uint8}
     oshape = ((lambda n: (n * sub, e_pad // sub)) if hbm_brick
@@ -144,7 +154,7 @@ def sweep_edge_math_pallas(inputs: tuple, k: jax.Array, cfg: GBPConfig,
     )
 
     outs = plx.pallas_call(
-        functools.partial(_kernel, cfg, kernel_sub, native),
+        functools.partial(_kernel, cfg, kernel_sub, native, intr is not None),
         grid=(e_pad // (sub * be) if hbm_brick else e_pad // be,),
         in_specs=in_specs,
         out_specs=[spec(s.shape) for s in out_shapes],
@@ -229,7 +239,7 @@ def _dot3(v, oh, dims, oh_first=False, single_pass=False):
 
 
 def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
-                  interp: bool,
+                  interp: bool, has_intr: bool,
                   cam_base_ref, lmk_base_ref,
                   k_ref, cam_idx_ref, lmk_idx_ref, cam_tbl_ref, lmk_tbl_ref,
                   *refs):
@@ -271,9 +281,13 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
         vals = [brick(bc), brick(bl)]
         for r in refs[:n_in]:
             vals.append(brick(r[...]))
-        outs = edge_math(*vals, k_ref, cfg)
+        # optional Snavely intrinsics: trailing input so the state-operand
+        # aliasing indices are model-independent
+        intr = brick(refs[n_in][...]) if has_intr else None
+        o0 = n_in + int(has_intr)
+        outs = edge_math(*vals, k_ref, cfg, intr=intr)
         flat = []
-        for r, o in zip(refs[n_in:n_in + len(outs)], outs):
+        for r, o in zip(refs[o0:o0 + len(outs)], outs):
             o2 = o.reshape(r.shape[0], -1)
             r[...] = o2.astype(r.dtype)
             flat.append(o2)
@@ -284,7 +298,7 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
         # in VMEM and is written to HBM once per cell.
         msg_cam = jnp.concatenate([flat[5], flat[6]])          # [27, BE]
         msg_lmk = jnp.concatenate([flat[7], flat[8]])          # [9, BE]
-        cam_part_ref, lmk_part_ref = refs[n_in + len(outs):]
+        cam_part_ref, lmk_part_ref = refs[o0 + len(outs):]
         prev = jnp.maximum(i - 1, 0)
         first_c = (i == 0) | (cam_base_ref[i] != cam_base_ref[prev])
         first_l = (i == 0) | (lmk_base_ref[i] != lmk_base_ref[prev])
@@ -334,6 +348,7 @@ def sweep_fused_pallas(
     cam_idx: jax.Array, lmk_idx: jax.Array,
     cam_win, lmk_win, k: jax.Array, cfg: GBPConfig,
     interpret: bool = False, var_major: bool = False,
+    intr: jax.Array | None = None,
 ):
     """Fused sweep. ``inputs`` = EDGE_MATH_INPUTS WITHOUT bc/bl; the belief
     tables are var-major lane-padded ([rows, 128], cols 0..26 / 0..8 used).
@@ -363,6 +378,8 @@ def sweep_fused_pallas(
         return x
 
     prepped = [prep(x) for x in inputs]
+    if intr is not None:
+        prepped.append(prep(intr))
     ci = prep(cam_idx)
     li = prep(lmk_idx)
     f = prepped[0].dtype
@@ -413,7 +430,7 @@ def sweep_fused_pallas(
 
     outs = plx.pallas_call(
         functools.partial(_fused_kernel, cfg, sub, cam_win.w, lmk_win.w,
-                          var_major, bool(interpret)),
+                          var_major, bool(interpret), intr is not None),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         cost_estimate=cost,

@@ -108,6 +108,8 @@ def partition_by_landmark(
         lmk_idx=place_edge(lmk_local),
         meas=place_edge(graph.meas),
         meas_var=place_edge(graph.meas_var, fill=1.0),
+        intr=(None if graph.intr is None
+              else place_edge(graph.intr, fill=1.0)),
         cam_onehot=None,
         cam_blocked=None,
         lmk_blocked=None,
@@ -157,8 +159,10 @@ class MapShardedSolver:
 
     def prepare(self, graph: GBPGraph, state: GBPState):
         graph, state = partition_by_landmark(graph, state, self.mesh.size)
-        gs = jax.tree.map(lambda s: NamedSharding(self.mesh, s),
-                          map_graph_specs())
+        gspec = map_graph_specs()
+        if graph.intr is None:
+            gspec = gspec._replace(intr=None)
+        gs = jax.tree.map(lambda s: NamedSharding(self.mesh, s), gspec)
         ss = jax.tree.map(lambda s: NamedSharding(self.mesh, s),
                           map_state_specs())
         return (jax.tree.map(jax.device_put, graph, gs),

@@ -45,7 +45,7 @@ EDGE_AXIS = "edges"
 # are [E]). Everything else (beliefs, priors, weaken flags — all
 # per-variable) is replicated.
 _GRAPH_EDGE_FIELDS = frozenset(GBPGraph._fields) & frozenset(
-    ("cam_idx", "lmk_idx", "meas", "meas_var"))
+    ("cam_idx", "lmk_idx", "meas", "meas_var", "intr"))
 _STATE_EDGE_FIELDS = frozenset({
     "f_eta_c", "f_eta_l", "f_lam_cc", "f_lam_cl", "f_lam_ll",
     "msg_c_eta", "msg_c_lam", "msg_l_eta", "msg_l_lam",
@@ -127,6 +127,10 @@ def pad_edges(
         meas=_pad_edge_array(graph.meas, pad),
         meas_var=jnp.concatenate(
             [graph.meas_var, jnp.ones((pad,), graph.meas_var.dtype)]),
+        intr=(None if graph.intr is None
+              else jnp.concatenate(
+                  [graph.intr,
+                   jnp.broadcast_to(graph.intr[:, :1], (3, pad))], axis=1)),
     )
     state = state._replace(**{
         f: _pad_edge_array(getattr(state, f), pad) for f in _STATE_EDGE_FIELDS
@@ -138,7 +142,12 @@ def device_put_sharded(
     mesh: Mesh, graph: GBPGraph, state: GBPState
 ) -> tuple[GBPGraph, GBPState]:
     """Place graph/state on the mesh with their canonical shardings."""
-    gs = jax.tree.map(lambda s: NamedSharding(mesh, s), graph_specs(mesh))
+    gspec = graph_specs(mesh)
+    if graph.intr is None:
+        # spec tree must structurally match the graph pytree here (exact
+        # tree.map below, not shard_map's prefix broadcasting)
+        gspec = gspec._replace(intr=None)
+    gs = jax.tree.map(lambda s: NamedSharding(mesh, s), gspec)
     ss = jax.tree.map(lambda s: NamedSharding(mesh, s), state_specs(mesh))
     return (
         jax.tree.map(jax.device_put, graph, gs),

@@ -1,12 +1,23 @@
 """BAL-format problem loading.
 
-Parses the reference's sequence files (reference: ba/dataio.cpp:17-57,
-include/dataio.h:11-69): header ``n_keyframes n_points n_edges``, shared
-pinhole intrinsics ``fx fy cx cy``, one ``camID lmkID u v`` line per edge,
-then ``6*n_keyframes + 3*n_points`` initial parameters.
+Two on-disk formats are supported and auto-detected:
+
+- the reference's TUM variant (reference: ba/dataio.cpp:17-57,
+  include/dataio.h:11-69): header ``n_keyframes n_points n_edges``, shared
+  pinhole intrinsics ``fx fy cx cy``, one ``camID lmkID u v`` line per
+  edge, then ``6*n_keyframes + 3*n_points`` initial parameters;
+- the original BAL dataset format (Agarwal et al., "Bundle Adjustment in
+  the Large"): header, observations, then NINE parameters per camera
+  (axis-angle rotation, translation, focal f, radial distortion k1 k2) and
+  three per point. These use the Snavely camera model (camera looks down
+  -z, ``uv = f (1 + k1 r^2 + k2 r^4) * -(x/z, y/z)``, pixels centred);
+  loading one sets :attr:`BAProblem.intrinsics` and the whole solver stack
+  (GBP sweeps, kernels, GN/coarse/polish, oracles) switches to that model.
+  The intrinsics are held fixed (the reference never optimises intrinsics
+  either).
 
 A native C++ fast path (gbp_poplar_tpu/native/balio.cpp, loaded via ctypes)
-is used when available; the NumPy path below is the always-available
+is used for the TUM variant; the NumPy path below is the always-available
 fallback and the correctness oracle for the native loader.
 """
 
@@ -38,6 +49,13 @@ class BAProblem:
     measurements: np.ndarray  # [E, 2] float
     cam_means: np.ndarray    # [C, 6] float — initial pose parameters
     lmk_means: np.ndarray    # [L, 3] float — initial landmark positions
+    # Snavely/BAL per-camera intrinsics (f, k1, k2), or None for the shared
+    # pinhole model. Presence selects the camera model everywhere.
+    intrinsics: np.ndarray | None = None   # [C, 3] float or None
+
+    @property
+    def camera_model(self) -> str:
+        return "pinhole" if self.intrinsics is None else "snavely"
 
     @property
     def n_edges_per_kf(self) -> np.ndarray:
@@ -70,10 +88,30 @@ def _load_native(path: str) -> BAProblem | None:
     return balio_native.load(path)
 
 
+def _sniff_is_snavely(path: str) -> bool:
+    """Cheap line-2 sniff: the TUM variant's second line is the shared
+    intrinsics ``fx fy cx cy`` (floats, written with decimal points);
+    original-BAL's second line is the first observation ``cam pt u v``
+    with two bare integer indices. Ambiguous sniffs fall through to the
+    exact token-count check in :func:`_from_tokens`."""
+    with open(path) as f:
+        header = f.readline().split()
+        second = f.readline().split()
+    if len(header) < 3 or len(second) < 2:
+        return False
+    n_kf, n_pts = int(float(header[0])), int(float(header[1]))
+    t0, t1 = second[0], second[1]
+    plain_int = all(ch not in t for t in (t0, t1) for ch in ".eE")
+    return (plain_int and 0 <= int(t0) < n_kf and 0 <= int(t1) < n_pts)
+
+
 def load_bal(path_or_name: str, use_native: bool = True) -> BAProblem:
-    """Load a BAL-format file into a BAProblem."""
+    """Load a BAL-format file (TUM variant or original BAL) into a
+    BAProblem. The format is auto-detected (see module docstring)."""
     path = find_sequence(path_or_name)
-    if use_native:
+    snavely = _sniff_is_snavely(path)
+    if use_native and not snavely:
+        # the native loader parses the TUM layout only
         problem = _load_native(path)
         if problem is not None:
             return problem
@@ -85,6 +123,17 @@ def load_bal(path_or_name: str, use_native: bool = True) -> BAProblem:
 
 def _from_tokens(tokens: np.ndarray, path: str) -> BAProblem:
     n_kf, n_pts, n_edges = (int(tokens[i]) for i in range(3))
+    # exact disambiguation by total token count (the two layouts can never
+    # collide: 7 + 6C == 3 + 9C has no integer solution)
+    n_tum = 7 + 4 * n_edges + 6 * n_kf + 3 * n_pts
+    n_bal = 3 + 4 * n_edges + 9 * n_kf + 3 * n_pts
+    if tokens.size == n_bal:
+        return _from_tokens_snavely(tokens, n_kf, n_pts, n_edges)
+    if tokens.size < n_tum:
+        raise ValueError(
+            f"{path}: {tokens.size} tokens matches neither the TUM layout "
+            f"({n_tum}) nor the BAL layout ({n_bal})")
+
     fx, fy, cx, cy = tokens[3:7]
     k = np.array([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]], np.float64)
 
@@ -113,15 +162,50 @@ def _from_tokens(tokens: np.ndarray, path: str) -> BAProblem:
     )
 
 
+def _from_tokens_snavely(
+    tokens: np.ndarray, n_kf: int, n_pts: int, n_edges: int
+) -> BAProblem:
+    """Original BAL layout: observations, then 9 params per camera
+    (w[3], t[3], f, k1, k2 — rotation FIRST, Snavely convention), then 3
+    per point."""
+    edge_block = tokens[3 : 3 + 4 * n_edges].reshape(n_edges, 4)
+    p0 = 3 + 4 * n_edges
+    cam_params = tokens[p0 : p0 + 9 * n_kf].reshape(n_kf, 9)
+    lmk_means = tokens[p0 + 9 * n_kf : p0 + 9 * n_kf + 3 * n_pts].reshape(
+        n_pts, 3)
+    # internal pose layout is (t, w)
+    cam_means = np.concatenate([cam_params[:, 3:6], cam_params[:, 0:3]], 1)
+    return BAProblem(
+        n_keyframes=n_kf,
+        n_points=n_pts,
+        n_edges=n_edges,
+        k=np.eye(3, dtype=np.float64),   # unused under the Snavely model
+        cam_idx=edge_block[:, 0].astype(np.uint32),
+        lmk_idx=edge_block[:, 1].astype(np.uint32),
+        measurements=edge_block[:, 2:4].astype(np.float64).copy(),
+        cam_means=cam_means.copy(),
+        lmk_means=lmk_means.copy(),
+        intrinsics=cam_params[:, 6:9].copy(),
+    )
+
+
 def save_bal(path: str, problem: BAProblem) -> None:
-    """Write a BAProblem back out in BAL format."""
+    """Write a BAProblem back out (TUM variant, or original BAL layout when
+    the problem carries Snavely intrinsics)."""
+    snavely = problem.intrinsics is not None
     with open(path, "w") as f:
         f.write(f"{problem.n_keyframes} {problem.n_points} {problem.n_edges}\n")
-        k = problem.k
-        f.write(f"{k[0, 0]:.9f} {k[1, 1]:.9f} {k[0, 2]:.9f} {k[1, 2]:.9f}\n")
+        if not snavely:
+            k = problem.k
+            f.write(f"{k[0, 0]:.9f} {k[1, 1]:.9f} "
+                    f"{k[0, 2]:.9f} {k[1, 2]:.9f}\n")
         for c, l, (u, v) in zip(problem.cam_idx, problem.lmk_idx, problem.measurements):
             f.write(f"{c} {l}\t{u:.6e} {v:.6e}\n")
-        for row in problem.cam_means:
+        for i, row in enumerate(problem.cam_means):
+            if snavely:
+                # BAL camera block: w[3], t[3], f, k1, k2
+                row = np.concatenate([row[3:6], row[0:3],
+                                      problem.intrinsics[i]])
             f.write("\n".join(f"{x:.16e}" for x in row) + "\n")
         for row in problem.lmk_means:
             f.write("\n".join(f"{x:.16e}" for x in row) + "\n")
@@ -199,6 +283,68 @@ def synthetic_problem(
         measurements=meas[order],
         cam_means=cams,
         lmk_means=pts,
+    )
+
+
+def synthetic_problem_snavely(
+    n_keyframes: int = 8,
+    n_points: int = 80,
+    seed: int = 0,
+    obs_per_lmk: int = 4,
+    pixel_noise: float = 0.0,
+    distortion: tuple[float, float] = (-0.3, 0.1),
+) -> BAProblem:
+    """Synthetic problem under the Snavely/BAL camera model (per-camera
+    focal + radial distortion, camera looks down -z). Used to exercise the
+    BAL-dataset code path without shipping a BAL dataset."""
+    rng = np.random.default_rng(seed)
+    # points in front of the cameras = NEGATIVE z (Snavely convention)
+    pts = rng.uniform([-2, -2, -8], [2, 2, -4], size=(n_points, 3))
+    cams = np.zeros((n_keyframes, 6))
+    cams[:, 0] = np.linspace(-1.0, 1.0, n_keyframes)
+    cams[:, 1] = rng.normal(0, 0.05, n_keyframes)
+    cams[:, 2] = rng.normal(0, 0.05, n_keyframes)
+    cams[:, 3:] = rng.normal(0, 0.03, (n_keyframes, 3))
+    intr = np.stack([
+        rng.uniform(450.0, 550.0, n_keyframes),
+        np.full(n_keyframes, distortion[0]),
+        np.full(n_keyframes, distortion[1]),
+    ], axis=1)
+
+    def so3exp_np(w):
+        theta = np.linalg.norm(w)
+        if theta < 1e-9:
+            return np.eye(3)
+        w_hat = np.array(
+            [[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+        return (np.eye(3) + np.sin(theta) / theta * w_hat
+                + (1 - np.cos(theta)) / theta**2 * (w_hat @ w_hat))
+
+    cam_idx, lmk_idx, meas = [], [], []
+    for l in range(n_points):
+        start = l % n_keyframes
+        for j in range(min(obs_per_lmk, n_keyframes)):
+            c = (start + j) % n_keyframes
+            p = so3exp_np(cams[c, 3:]) @ pts[l] + cams[c, :3]
+            if p[2] >= -0.1:          # must be in front: z < 0
+                continue
+            px, py = -p[0] / p[2], -p[1] / p[2]
+            rho = px * px + py * py
+            dist = 1.0 + rho * (intr[c, 1] + intr[c, 2] * rho)
+            cam_idx.append(c)
+            lmk_idx.append(l)
+            meas.append([intr[c, 0] * dist * px, intr[c, 0] * dist * py])
+    meas = np.asarray(meas)
+    if pixel_noise > 0:
+        meas = meas + rng.normal(0, pixel_noise, meas.shape)
+    order = np.argsort(np.asarray(cam_idx), kind="stable")
+    return BAProblem(
+        n_keyframes=n_keyframes, n_points=n_points, n_edges=len(cam_idx),
+        k=np.eye(3),
+        cam_idx=np.asarray(cam_idx, np.uint32)[order],
+        lmk_idx=np.asarray(lmk_idx, np.uint32)[order],
+        measurements=meas[order],
+        cam_means=cams, lmk_means=pts, intrinsics=intr,
     )
 
 

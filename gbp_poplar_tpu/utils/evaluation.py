@@ -151,8 +151,19 @@ def numpy_reprojection_error(
     dot = np.sum(axis * y, axis=1, keepdims=True)
     y_cf = y * ct + cross * st + axis * dot * (1.0 - ct) + t
     z = y_cf[:, 2]
-    u = k[0, 0] * y_cf[:, 0] / z + k[0, 2]
-    v = k[1, 1] * y_cf[:, 1] / z + k[1, 2]
+    intr = getattr(problem, "intrinsics", None)
+    if intr is None:
+        u = k[0, 0] * y_cf[:, 0] / z + k[0, 2]
+        v = k[1, 1] * y_cf[:, 1] / z + k[1, 2]
+    else:
+        # Snavely/BAL model: uv = f (1 + k1 r^2 + k2 r^4) * (-x/z, -y/z)
+        f_e, k1_e, k2_e = np.asarray(intr, np.float64)[ci].T
+        px = -y_cf[:, 0] / z
+        py = -y_cf[:, 1] / z
+        rho = px * px + py * py
+        dist = 1.0 + rho * (k1_e + k2_e * rho)
+        u = f_e * dist * px
+        v = f_e * dist * py
     meas = np.asarray(problem.measurements, np.float64)
     r = np.stack([meas[:, 0] - u, meas[:, 1] - v], axis=1)
     norm = np.linalg.norm(r, axis=1)

@@ -35,7 +35,11 @@ def prior_lambdas(
     cam = jnp.asarray(problem.cam_means, dtype)[jnp.asarray(problem.cam_idx.astype(np.int32))]
     lmk = jnp.asarray(problem.lmk_means, dtype)[jnp.asarray(problem.lmk_idx.astype(np.int32))]
     k = jnp.asarray(problem.k, dtype)
-    jac = projection.reproj_jacobian_local(cam, lmk, k)   # [E, 2, 9]
+    intr = getattr(problem, "intrinsics", None)
+    intr_e = (None if intr is None else
+              jnp.asarray(intr, dtype)[jnp.asarray(
+                  problem.cam_idx.astype(np.int32))])
+    jac = projection.reproj_jacobian_local(cam, lmk, k, intr_e)  # [E, 2, 9]
     max_abs = jnp.max(jnp.abs(jac), axis=(-2, -1))        # [E]
 
     cam_ids = jnp.asarray(problem.cam_idx.astype(np.int32))
@@ -179,6 +183,11 @@ def av_depth_init(
 ) -> np.ndarray:
     """Place each landmark at `av_depth` on the optic axis of the first
     keyframe that observes it (reference: ba/dataio.cpp:417-453)."""
+    if getattr(problem, "intrinsics", None) is not None:
+        raise ValueError(
+            "av_depth_init assumes the pinhole +z optic-axis convention; "
+            "BAL/Snavely problems ship initial landmark estimates — "
+            "run without --avdepth_on")
     out = problem.lmk_means.copy()
     first_cam = np.full(problem.n_points, -1, np.int64)
     # Edges scanned in keyframe order; first observation wins.
