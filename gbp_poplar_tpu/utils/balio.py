@@ -354,18 +354,20 @@ def synthetic_problem_large(
     obs_per_lmk: int = 7,
     seed: int = 0,
     pixel_noise: float = 0.5,
+    snavely: bool = False,
 ) -> BAProblem:
     """Fully-vectorised generator for Ladybug-scale problems (~1M edges).
 
-    Cameras along a line looking down +z at a deep point cloud; each
-    landmark observed by `obs_per_lmk` consecutive keyframes (a trajectory
+    Cameras along a line looking at a deep point cloud; each landmark
+    observed by `obs_per_lmk` consecutive keyframes (a trajectory
     visibility pattern, like the BAL Ladybug sequences). Unlike
     :func:`synthetic_problem` there is no per-edge Python loop, so building
-    a million-edge problem takes ~1 s.
+    a million-edge problem takes ~1 s. With ``snavely`` the problem uses
+    the BAL camera model (per-camera f/k1/k2, points in front at -z).
     """
     rng = np.random.default_rng(seed)
     fx = fy = 500.0
-    cx, cy = 320.0, 240.0
+    cx, cy = (0.0, 0.0) if snavely else (320.0, 240.0)
     k = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
 
     cams = np.zeros((n_keyframes, 6))
@@ -373,15 +375,21 @@ def synthetic_problem_large(
     cams[:, 1] = rng.normal(0, 0.05, n_keyframes)
     cams[:, 2] = rng.normal(0, 0.05, n_keyframes)
     cams[:, 3:] = rng.normal(0, 0.02, (n_keyframes, 3))
+    intr = None
+    if snavely:
+        intr = np.stack([rng.uniform(450.0, 550.0, n_keyframes),
+                         np.full(n_keyframes, -0.3),
+                         np.full(n_keyframes, 0.1)], axis=1)
 
     # landmark l lives near the cameras that see it
     anchor = (np.arange(n_points) * max(1, n_keyframes - obs_per_lmk)
               // max(1, n_points - 1)).astype(np.int64)
     anchor = np.minimum(anchor, n_keyframes - obs_per_lmk)
+    zsign = -1.0 if snavely else 1.0
     pts = np.empty((n_points, 3))
     pts[:, 0] = cams[anchor, 0] + rng.uniform(-2, 2, n_points)
     pts[:, 1] = rng.uniform(-2, 2, n_points)
-    pts[:, 2] = rng.uniform(4, 8, n_points)
+    pts[:, 2] = zsign * rng.uniform(4, 8, n_points)
 
     # edges: landmark l observed by keyframes anchor..anchor+obs-1
     lmk_idx = np.repeat(np.arange(n_points, dtype=np.uint32), obs_per_lmk)
@@ -401,13 +409,22 @@ def synthetic_problem_large(
     dot = np.sum(axis * y, axis=1, keepdims=True)
     y_rot = y * ct + cross * st + axis * dot * (1 - ct)
     y_cf = y_rot + cams[cam_idx, :3]
-    z = np.maximum(y_cf[:, 2], 1e-3)
-    meas = np.stack([fx * y_cf[:, 0] / z + cx, fy * y_cf[:, 1] / z + cy], 1)
+    if snavely:
+        z = np.minimum(y_cf[:, 2], -1e-3)
+        f_e, k1_e, k2_e = intr[cam_idx].T
+        px, py = -y_cf[:, 0] / z, -y_cf[:, 1] / z
+        rho = px * px + py * py
+        dist = 1.0 + rho * (k1_e + k2_e * rho)
+        meas = np.stack([f_e * dist * px, f_e * dist * py], 1)
+    else:
+        z = np.maximum(y_cf[:, 2], 1e-3)
+        meas = np.stack([fx * y_cf[:, 0] / z + cx,
+                         fy * y_cf[:, 1] / z + cy], 1)
     if pixel_noise > 0:
         meas = meas + rng.normal(0, pixel_noise, meas.shape)
 
     return BAProblem(
         n_keyframes=n_keyframes, n_points=n_points, n_edges=len(cam_idx),
         k=k, cam_idx=cam_idx, lmk_idx=lmk_idx, measurements=meas,
-        cam_means=cams, lmk_means=pts,
+        cam_means=cams, lmk_means=pts, intrinsics=intr,
     )

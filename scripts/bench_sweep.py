@@ -50,6 +50,9 @@ def main():
     for n in names:
         if n == "ladybug":
             bench(balio.synthetic_problem_large(1723, 156000, 7), n, cfg, 100)
+        elif n == "ladybug_snavely":
+            bench(balio.synthetic_problem_large(1723, 156000, 7,
+                                                snavely=True), n, cfg, 100)
         else:
             bench(balio.load_bal(n), n, cfg, 2000)
 
