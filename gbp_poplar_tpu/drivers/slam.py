@@ -144,14 +144,15 @@ def main(argv=None) -> int:
         relin_behind_camera=False, default_rescue_iters=300)
 
     problem = balio.load_bal(args.bal_file)
-    problem = priors.apply_init_noise(problem, init_cfg,
-                                      k_anchor=cfg.num_anchor_cams)
-    ibk = args.iters_between_kfs
+    # reject BEFORE any init helper (av_depth_init is pinhole-only)
     if problem.intrinsics is not None:
         print("error: incremental SLAM needs a temporally ordered TUM-"
               "variant sequence; BAL-dataset (Snavely-model) problems have "
               "no keyframe order — use the batch `ba` driver", file=sys.stderr)
         return 2
+    problem = priors.apply_init_noise(problem, init_cfg,
+                                      k_anchor=cfg.num_anchor_cams)
+    ibk = args.iters_between_kfs
     print(f"{args.bal_file}: {problem.n_keyframes} keyframes, "
           f"{problem.n_points} landmarks, {problem.n_edges} edges "
           f"({ibk} iters/keyframe)", file=sys.stderr)

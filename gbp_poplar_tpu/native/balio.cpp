@@ -86,6 +86,13 @@ bool parse_file(const char* path, BalData* out) {
   out->lmk_means.resize(out->n_pts * 3);
   for (double& v : out->lmk_means)
     if (!next(&v)) return false;
+  // Strict: the TUM layout must consume EVERY token. Leftover tokens mean
+  // a different layout (e.g. an original-BAL file, whose 9-param cameras
+  // leave 3*n_kf - 4 extras) or a corrupted file — mis-parsing either as
+  // TUM would silently shift all values; fail so the caller's NumPy parser
+  // can disambiguate by exact token count.
+  double extra;
+  if (next(&extra)) return false;
   (void)end;
   return true;
 }

@@ -99,10 +99,13 @@ def _sniff_is_snavely(path: str) -> bool:
         second = f.readline().split()
     if len(header) < 3 or len(second) < 2:
         return False
-    n_kf, n_pts = int(float(header[0])), int(float(header[1]))
-    t0, t1 = second[0], second[1]
-    plain_int = all(ch not in t for t in (t0, t1) for ch in ".eE")
-    return (plain_int and 0 <= int(t0) < n_kf and 0 <= int(t1) < n_pts)
+    try:
+        n_kf, n_pts = int(float(header[0])), int(float(header[1]))
+        t0, t1 = second[0], second[1]
+        plain_int = all(ch not in t for t in (t0, t1) for ch in ".eE")
+        return (plain_int and 0 <= int(t0) < n_kf and 0 <= int(t1) < n_pts)
+    except ValueError:
+        return False   # non-numeric tokens: let the exact parse decide
 
 
 def load_bal(path_or_name: str, use_native: bool = True) -> BAProblem:
@@ -111,8 +114,12 @@ def load_bal(path_or_name: str, use_native: bool = True) -> BAProblem:
     path = find_sequence(path_or_name)
     snavely = _sniff_is_snavely(path)
     if use_native and not snavely:
-        # the native loader parses the TUM layout only
-        problem = _load_native(path)
+        # the native loader parses the TUM layout only (and is strict: it
+        # fails on leftover tokens so non-TUM files fall through here)
+        try:
+            problem = _load_native(path)
+        except ValueError:
+            problem = None
         if problem is not None:
             return problem
     # np.fromfile with sep=' ' tokenises on any whitespace — one pass, no
@@ -129,7 +136,10 @@ def _from_tokens(tokens: np.ndarray, path: str) -> BAProblem:
     n_bal = 3 + 4 * n_edges + 9 * n_kf + 3 * n_pts
     if tokens.size == n_bal:
         return _from_tokens_snavely(tokens, n_kf, n_pts, n_edges)
-    if tokens.size < n_tum:
+    if tokens.size != n_tum:
+        # strict: a truncated/corrupted BAL file must not silently fall
+        # through to the TUM parse (which would read the first observation
+        # as intrinsics and shift every subsequent value by 4 tokens)
         raise ValueError(
             f"{path}: {tokens.size} tokens matches neither the TUM layout "
             f"({n_tum}) nor the BAL layout ({n_bal})")
@@ -211,6 +221,17 @@ def save_bal(path: str, problem: BAProblem) -> None:
             f.write("\n".join(f"{x:.16e}" for x in row) + "\n")
 
 
+def _so3exp_np(w: np.ndarray) -> np.ndarray:
+    """Rodrigues' formula for one axis-angle vector (NumPy, generators)."""
+    theta = np.linalg.norm(w)
+    if theta < 1e-9:
+        return np.eye(3)
+    w_hat = np.array(
+        [[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    return (np.eye(3) + np.sin(theta) / theta * w_hat
+            + (1 - np.cos(theta)) / theta**2 * (w_hat @ w_hat))
+
+
 def synthetic_problem(
     n_keyframes: int = 6,
     n_points: int = 60,
@@ -239,27 +260,14 @@ def synthetic_problem(
     cams[:, 2] = rng.normal(0, 0.05, n_keyframes)
     cams[:, 3:] = rng.normal(0, 0.03, (n_keyframes, 3))       # small rotations
 
-    # Project with a local numpy implementation of the measurement model.
-    def so3exp_np(w):
-        theta = np.linalg.norm(w)
-        if theta < 1e-9:
-            return np.eye(3)
-        w_hat = np.array(
-            [[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]]
-        )
-        return (
-            np.eye(3)
-            + np.sin(theta) / theta * w_hat
-            + (1 - np.cos(theta)) / theta**2 * (w_hat @ w_hat)
-        )
-
+    # Project with the module-level NumPy measurement model.
     cam_idx, lmk_idx, meas = [], [], []
     for l in range(n_points):
         # observed by `obs_per_lmk` nearest cameras (by index ring)
         start = l % n_keyframes
         for j in range(min(obs_per_lmk, n_keyframes)):
             c = (start + j) % n_keyframes
-            r = so3exp_np(cams[c, 3:])
+            r = _so3exp_np(cams[c, 3:])
             p = r @ pts[l] + cams[c, :3]
             if p[2] <= 0.1:
                 continue
@@ -311,21 +319,12 @@ def synthetic_problem_snavely(
         np.full(n_keyframes, distortion[1]),
     ], axis=1)
 
-    def so3exp_np(w):
-        theta = np.linalg.norm(w)
-        if theta < 1e-9:
-            return np.eye(3)
-        w_hat = np.array(
-            [[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
-        return (np.eye(3) + np.sin(theta) / theta * w_hat
-                + (1 - np.cos(theta)) / theta**2 * (w_hat @ w_hat))
-
     cam_idx, lmk_idx, meas = [], [], []
     for l in range(n_points):
         start = l % n_keyframes
         for j in range(min(obs_per_lmk, n_keyframes)):
             c = (start + j) % n_keyframes
-            p = so3exp_np(cams[c, 3:]) @ pts[l] + cams[c, :3]
+            p = _so3exp_np(cams[c, 3:]) @ pts[l] + cams[c, :3]
             if p[2] >= -0.1:          # must be in front: z < 0
                 continue
             px, py = -p[0] / p[2], -p[1] / p[2]

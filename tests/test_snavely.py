@@ -83,6 +83,12 @@ def test_snavely_planes_linearise_matches_dense():
     np.testing.assert_allclose(
         np.stack([np.stack(row, 1) for row in lcl], 1), pot.lam_cl,
         rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.stack([np.stack(row, 1) for row in lcc], 1), pot.lam_cc,
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.stack([np.stack(row, 1) for row in lll], 1), pot.lam_ll,
+        rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(rob), np.asarray(rob_d))
 
 
@@ -169,6 +175,33 @@ def test_ba_cli_on_bal_dataset(tmp_path, snavely_problem):
     lines = [ln for ln in r.stdout.splitlines() if ln.startswith("iter")]
     assert float(lines[-1].split()[3]) < float(lines[0].split()[3])
     assert "GN baseline" in r.stderr
+
+
+def test_loader_strictness(tmp_path, snavely_problem):
+    """Corrupted files must raise, never silently mis-parse as the other
+    layout — through BOTH the native fast path and the NumPy parser."""
+    path = str(tmp_path / "x.txt")
+    balio.save_bal(path, snavely_problem)
+    toks = open(path).read().split()
+
+    # a single-line BAL file defeats the line-2 sniff; the strict native
+    # parser must refuse it (leftover tokens) and the NumPy token-count
+    # disambiguation must still classify it
+    with open(path, "w") as f:
+        f.write(" ".join(toks))
+    assert balio.load_bal(path).camera_model == "snavely"
+
+    # one missing token matches neither layout
+    with open(path, "w") as f:
+        f.write(" ".join(toks[:-1]))
+    with pytest.raises(ValueError):
+        balio.load_bal(path)
+
+    # non-numeric junk raises cleanly too
+    with open(path, "w") as f:
+        f.write("5 30 10\nabc xyz q w\n")
+    with pytest.raises(ValueError):
+        balio.load_bal(path)
 
 
 def test_slam_driver_rejects_bal_dataset(tmp_path, snavely_problem):
