@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "warm-started Levenberg-Marquardt/Schur pass "
                         "(the exported trajectory uses the polished means; "
                         "the checkpoint keeps the GBP state)")
+    p.add_argument("--refine_intrinsics", action="store_true",
+                   help="Snavely/BAL problems only: between execution "
+                        "chunks, refit every camera's (f, k1, k2) with a "
+                        "damped per-camera Gauss-Newton step, accepted only "
+                        "when the MAP objective decreases (block-coordinate "
+                        "descent; core/intrinsics.py)")
     return p
 
 
@@ -73,8 +79,29 @@ def main(argv=None) -> int:
         state = init_state(problem, cfg)
         start_iter = 0
 
+    if args.refine_intrinsics:
+        if problem.intrinsics is None:
+            print("error: --refine_intrinsics needs a Snavely/BAL problem "
+                  "(per-camera intrinsics); this file uses the shared "
+                  "pinhole model", file=sys.stderr)
+            return 2
+        if args.devices > 1:
+            print("error: --refine_intrinsics is single-chip for now",
+                  file=sys.stderr)
+            return 2
+
     solver = _make_solver(graph, cfg, args.devices)
     state = solver.prep(state)
+
+    refit_fn = relin_fn = None
+    intr = graph.intr
+    n_refits = [0, 0]               # accepted, attempted
+    if args.refine_intrinsics:
+        from ..core.intrinsics import refit_intrinsics
+        refit_fn = jax.jit(lambda s, it: refit_intrinsics(
+            s, graph._replace(intr=it), cfg))
+        relin_fn = jax.jit(lambda s, it: gbp.linearise_all(
+            s, graph._replace(intr=it), cfg))
 
     if args.profile:
         jax.profiler.start_trace(args.profile_dir)
@@ -96,7 +123,10 @@ def main(argv=None) -> int:
     while i < args.n_iters:
         n = min(chunk, args.n_iters - i)
         warm = min(n, max(0, 2 * cfg.steps - i))
-        state, diag = solver.run(state, n, i, warm)
+        if refit_fn is not None:
+            state, diag = solver.run_with_intr(state, n, i, warm, intr)
+        else:
+            state, diag = solver.run(state, n, i, warm)
         errs = np.asarray(diag.reproj_err)
         costs = np.asarray(diag.cost)
         relins = np.asarray(diag.n_relins)
@@ -123,6 +153,19 @@ def main(argv=None) -> int:
             print(f"WARNING: host oracle disagrees at iter {i}: "
                   f"device {dev_err:.5f} px vs host {h_err:.5f} px",
                   file=sys.stderr)
+        if refit_fn is not None and i < args.n_iters:
+            # block-coordinate intrinsics step (after the oracle check, so
+            # that comparison sees the same intrinsics the chunk ran under)
+            new_intr, acc = refit_fn(state, intr)
+            n_refits[1] += 1
+            if bool(np.asarray(acc)):
+                intr = new_intr
+                # stored potentials were linearised under the old
+                # intrinsics; refresh them all at the current means
+                state = relin_fn(state, intr)
+                n_refits[0] += 1
+                problem.intrinsics = _per_camera_intr(intr, graph, problem)
+                graph = graph._replace(intr=intr)
         if args.checkpoint and args.checkpoint_every and (
                 i % args.checkpoint_every < chunk):
             checkpoint.save_checkpoint(args.checkpoint, solver.unprep(state),
@@ -136,6 +179,10 @@ def main(argv=None) -> int:
         msg += (f"; steady-state "
                 f"{steady_iters / (t_end - t_first_chunk):.1f} sweeps/s")
     print(msg + ")", file=sys.stderr)
+
+    if refit_fn is not None:
+        print(f"intrinsics refits: {n_refits[0]}/{n_refits[1]} accepted",
+              file=sys.stderr)
 
     if args.profile:
         jax.profiler.stop_trace()
@@ -200,6 +247,13 @@ class _SingleChip:
         self._run = partial(jax.jit, static_argnums=(1, 3))(
             lambda s, n, off, warm: gbp.run_gbp(
                 s, graph, cfg, n, iter_offset=off, warm=warm))
+        # variant with the Snavely intrinsics as a TRACED operand so the
+        # driver's block-coordinate refit (--refine_intrinsics) swaps them
+        # between chunks without recompiling
+        self._run_intr = partial(jax.jit, static_argnums=(1, 3))(
+            lambda s, n, off, warm, it: gbp.run_gbp(
+                s, graph._replace(intr=it), cfg, n, iter_offset=off,
+                warm=warm))
 
     def prep(self, state):
         return state
@@ -213,6 +267,11 @@ class _SingleChip:
             warm = n if not isinstance(offset, int) else max(
                 0, min(n, 2 * self._cfg_steps - offset))
         return self._run(state, n, jnp.asarray(offset, jnp.int32), warm)
+
+    def run_with_intr(self, state, n, offset, warm, intr):
+        import jax.numpy as jnp
+        return self._run_intr(state, n, jnp.asarray(offset, jnp.int32),
+                              warm, intr)
 
 
 class _Sharded:
@@ -243,6 +302,17 @@ class _Sharded:
 
     def run(self, state, n, offset, warm=None):
         return self._solver.run(state, self._graph, n, offset, warm)
+
+
+def _per_camera_intr(intr, graph, problem) -> np.ndarray:
+    """[C, 3] per-camera intrinsics from the per-edge [3, E] planes (every
+    edge of a camera carries the same value; unobserved cameras keep their
+    previous estimate)."""
+    out = np.asarray(problem.intrinsics).copy()
+    ci = np.asarray(graph.cam_idx)[: problem.n_edges]
+    cams, first = np.unique(ci, return_index=True)
+    out[cams] = np.asarray(intr)[:, : problem.n_edges][:, first].T
+    return out
 
 
 def _polish_problem(problem, cfg: GBPConfig):

@@ -177,12 +177,81 @@ def test_ba_cli_on_bal_dataset(tmp_path, snavely_problem):
     assert "GN baseline" in r.stderr
 
 
+@pytest.fixture(scope="module")
+def perturbed_problem():
+    """Snavely problem whose shipped intrinsics are off (as real BAL
+    estimates are) — the target of --refine_intrinsics."""
+    prob = balio.synthetic_problem_snavely(8, 80, pixel_noise=0.3, seed=3)
+    rng = np.random.default_rng(1)
+    prob.intrinsics[:, 0] *= rng.uniform(0.93, 1.07, prob.n_keyframes)
+    prob.intrinsics[:, 1] += rng.normal(0, 0.05, prob.n_keyframes)
+    prob.lmk_means = prob.lmk_means + rng.normal(0, 0.05,
+                                                 prob.lmk_means.shape)
+    return prob
+
+
+def test_refit_intrinsics_descends_and_guards(perturbed_problem):
+    from gbp_poplar_tpu.core.intrinsics import refit_intrinsics
+
+    cfg = GBPConfig(use_pallas=False)
+    graph = build_graph(perturbed_problem, cfg)
+    state = init_state(perturbed_problem, cfg)
+    state, _ = jax.jit(lambda s: gbp.solve(s, graph, cfg, n_iters=150))(
+        state)
+    cost0 = float(gbp.map_cost(state, graph, cfg))
+    new_intr, acc = jax.jit(
+        lambda s: refit_intrinsics(s, graph, cfg))(state)
+    assert bool(acc)
+    g2 = graph._replace(intr=new_intr)
+    cost1 = float(gbp.map_cost(state, g2, cfg))
+    assert cost1 < cost0
+    # at (near) the refit's own fixed point a second step must not be able
+    # to increase the cost — acceptance is monotone in the objective
+    intr3, acc3 = jax.jit(
+        lambda s: refit_intrinsics(s, g2, cfg))(state)
+    cost2 = float(gbp.map_cost(state, g2._replace(intr=intr3), cfg))
+    assert cost2 <= cost1 + 1e-3
+
+
+def test_ba_cli_refine_intrinsics(tmp_path, perturbed_problem):
+    path = str(tmp_path / "p.txt")
+    balio.save_bal(path, perturbed_problem)
+    env = dict(os.environ, GBP_PLATFORM="cpu",
+               XLA_FLAGS=os.environ.get("XLA_FLAGS", ""))
+    errs = {}
+    for extra in ((), ("--refine_intrinsics",)):
+        r = subprocess.run(
+            [sys.executable, "-m", "gbp_poplar_tpu.drivers.ba",
+             "--bal_file", path, "--n_iters", "400",
+             "--print_every", "100", *extra],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.join(os.path.dirname(__file__), ".."), timeout=400)
+        assert r.returncode == 0, r.stderr[-2000:]
+        last = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("iter")][-1]
+        errs[bool(extra)] = float(last.split()[3])
+        if extra:
+            assert "intrinsics refits: " in r.stderr
+    assert errs[True] < 0.75 * errs[False], errs
+
+    # pinhole problems are rejected up front
+    tum = str(tmp_path / "tum.txt")
+    balio.save_bal(tum, balio.synthetic_problem(5, 40, seed=4))
+    r = subprocess.run(
+        [sys.executable, "-m", "gbp_poplar_tpu.drivers.ba",
+         "--bal_file", tum, "--n_iters", "10", "--refine_intrinsics"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."), timeout=240)
+    assert r.returncode == 2 and "pinhole" in r.stderr
+
+
 def test_loader_strictness(tmp_path, snavely_problem):
     """Corrupted files must raise, never silently mis-parse as the other
     layout — through BOTH the native fast path and the NumPy parser."""
     path = str(tmp_path / "x.txt")
     balio.save_bal(path, snavely_problem)
-    toks = open(path).read().split()
+    with open(path) as f:
+        toks = f.read().split()
 
     # a single-line BAL file defeats the line-2 sniff; the strict native
     # parser must refuse it (leftover tokens) and the NumPy token-count
