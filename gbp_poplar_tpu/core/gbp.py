@@ -573,17 +573,24 @@ def gbp_sweep(
 
 
 def _make_tables(
-    state: GBPState, graph: GBPGraph
+    state: GBPState, graph: GBPGraph, widths: tuple[int, int] = (128, 128),
 ) -> tuple[jax.Array, jax.Array]:
     """Beliefs in the fused kernel's var-major lane-padded table layout
-    ([rows, 128]; cols 0..26 = cam eta|packed Lambda, 0..8 for landmarks)."""
+    ([rows, 128]; cols 0..26 = cam eta|packed Lambda, 0..8 for landmarks).
+
+    The 128-lane width is a HARD Mosaic requirement, not a tuning choice:
+    narrower tables (32/16 lanes — which would save ~0.2 ms/sweep of
+    zero-pad writes at 1M edges, profiled) compile to 128-lane-padded
+    memrefs whose window DMA is an unaligned lane slice ("Slice shape
+    along dimension 1 must be aligned to tiling (128)") — measured
+    end-of-round-2, rejected by Mosaic at every problem size."""
     c, l = graph.n_keyframes, graph.n_points
     cam_rows = _win_table_rows(graph.cam_win, c)
     lmk_rows = _win_table_rows(graph.lmk_win, l)
     cam_tbl = jnp.pad(jnp.concatenate([state.cam_eta, state.cam_lam]).T,
-                      [(0, cam_rows - c), (0, 101)])          # [rows, 128]
+                      [(0, cam_rows - c), (0, widths[0] - 27)])
     lmk_tbl = jnp.pad(jnp.concatenate([state.lmk_eta, state.lmk_lam]).T,
-                      [(0, lmk_rows - l), (0, 119)])
+                      [(0, lmk_rows - l), (0, widths[1] - 9)])
     return cam_tbl, lmk_tbl
 
 
@@ -1104,7 +1111,7 @@ def run_gbp(
             return ac, al
 
         if table_mode:
-            tbls = _make_tables(s, graph)
+            tbls = _make_tables(s, graph, widths=(128, 128))
 
             def body(carry, _):
                 st, ct, lt, ac, al = carry

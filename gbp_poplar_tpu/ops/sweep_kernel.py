@@ -268,11 +268,15 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
         oh_l = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (wl, be), 0) + l0
             == lmk_idx_ref[...], 1.0, 0.0).astype(jnp.float32)
-        # gather: [W, 32] window x [W, BE] one-hot -> [32, BE] (exact: each
-        # output column is a single product value * 1.0; _dot3 keeps the
-        # value f32-exact at half of HIGHEST's MXU passes)
-        bc = dot3(cwin[:, :32], oh_c, (((0,), (0,)), ((), ())))[:27]
-        bl = dot3(lwin[:, :32], oh_l, (((0,), (0,)), ((), ())))[:9]
+        # gather: [W, width] window x [W, BE] one-hot -> [width, BE]
+        # (exact: each output column is a single product value * 1.0; _dot3
+        # keeps the value f32-exact at half of HIGHEST's MXU passes). The
+        # tables may be narrow (32/16 lanes, plane-form hot loop) or
+        # 128-wide (table-carried mode) — cap the contraction at 32 lanes.
+        cw = cwin[...] if cwin.shape[-1] <= 32 else cwin[:, :32]
+        lw = lwin[...] if lwin.shape[-1] <= 32 else lwin[:, :32]
+        bc = dot3(cw, oh_c, (((0,), (0,)), ((), ())))[:27]
+        bl = dot3(lw, oh_l, (((0,), (0,)), ((), ())))[:9]
 
         def brick(x):
             comp, n = x.shape
@@ -336,8 +340,8 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
 
     plx.run_scoped(
         inner,
-        cwin=pltpu.VMEM((wc, 128), jnp.float32),
-        lwin=pltpu.VMEM((wl, 128), jnp.float32),
+        cwin=pltpu.VMEM((wc, cam_tbl_ref.shape[-1]), jnp.float32),
+        lwin=pltpu.VMEM((wl, lmk_tbl_ref.shape[-1]), jnp.float32),
         sem_c=pltpu.SemaphoreType.DMA(()),
         sem_l=pltpu.SemaphoreType.DMA(()),
     )

@@ -31,7 +31,7 @@ def bench(prob, name, cfg, K=2000):
     @jax.jit
     def run_table(x):
         ptbls = gbp._prior_tables(x, graph)
-        tbls = gbp._make_tables(x, graph)
+        tbls = gbp._make_tables(x, graph, widths=(128, 128))
 
         def body(carry, _):
             st, ct, lt = carry

@@ -168,7 +168,7 @@ def test_sweep_tables_matches_fused(prob, prob_grid, which):
     s_f = jax.jit(lambda s: gbp.gbp_sweep(s, g, cfg))(s0)
 
     def tbl_step(s):
-        tbls = gbp._make_tables(s, g)
+        tbls = gbp._make_tables(s, g, widths=(128, 128))
         ptbls = gbp._prior_tables(s, g)
         s, ct, lt = gbp._gbp_sweep_tables(s, *tbls, *ptbls, g, cfg)
         return gbp._beliefs_from_tables(s, g, ct, lt)
