@@ -197,7 +197,7 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _dot3(v, oh, dims, oh_first=False, single_pass=False):
-    """Exact f32 contraction against a ONE-HOT operand in 3 MXU passes.
+    """Exact f32 contraction against a ONE-HOT operand via 3 bf16 limbs.
 
     ``Precision.HIGHEST`` decomposes BOTH f32 operands into 3 bf16 terms
     (6 significant passes) — but a one-hot matrix is exact in bf16, so
@@ -207,7 +207,10 @@ def _dot3(v, oh, dims, oh_first=False, single_pass=False):
     kernel at 1M edges (6.75 -> 3.21 ms/sweep with naive bf16); this
     recovers half of that with no accuracy loss (one-hot gathers stay
     value-exact; reduction partials differ from HIGHEST only at the f32
-    ulp of the lo term).
+    ulp of the lo term). When v's free axis fits 3x into one 128-row MXU
+    tile (every non-var-major hot call site) the limbs are further
+    STACKED along it so the 3 dots collapse to one dot of the same tile
+    cost — bit-identical output, ~3x fewer MXU passes.
 
     ``single_pass`` is for the Pallas interpreter (CPU CI), whose dots are
     native f32 — the limb split would only triple the interpreter's cost.
@@ -229,6 +232,22 @@ def _dot3(v, oh, dims, oh_first=False, single_pass=False):
     r = v - hi
     mid = r.astype(jnp.bfloat16).astype(jnp.float32)
     lo = r - mid
+    if not oh_first:
+        # The free axis of v is tiny at every hot call site (gather window
+        # cols <= 32, message rows 27/9) while the MXU pads it to a full
+        # 128-row tile — so stacking the three limbs along it (<= 96/81/27
+        # rows) turns 3 dots into ONE dot of identical tile cost: a 3x cut
+        # on the contraction passes. Bit-exact vs the 3-pass loop: the
+        # stacked rows are independent MXU output rows (same per-limb dots)
+        # and the final adds keep the hi+mid+lo order.
+        (vc,) = dims[0][0]
+        free = 1 - vc
+        m = v.shape[free]
+        if v.ndim == 2 and 3 * m <= 128:
+            stacked = jnp.concatenate([hi, mid, lo], axis=free)
+            d = jax.lax.dot_general(stacked, oh, dims,
+                                    preferred_element_type=jnp.float32)
+            return (d[:m] + d[m:2 * m]) + d[2 * m:]
     acc = None
     for part in (hi, mid, lo):
         ops = (oh, part) if oh_first else (part, oh)

@@ -52,6 +52,29 @@ def test_dot3_limb_exactness():
     red1 = _dot3(jnp.asarray(msg), jnp.asarray(oh),
                  (((1,), (1,)), ((), ())), single_pass=True)
     np.testing.assert_allclose(np.asarray(red1), want, rtol=0, atol=1e-4)
+    # the limb-STACKED fast path (free axis <= 42) must be bit-identical
+    # to the explicit 3-pass loop it replaces, in both directions
+    def loop3(val, dims):
+        h = val.astype(jnp.bfloat16).astype(jnp.float32)
+        rr = val - h
+        m_ = rr.astype(jnp.bfloat16).astype(jnp.float32)
+        l_ = rr - m_
+        out = None
+        for part in (h, m_, l_):
+            d = jax.lax.dot_general(part, jnp.asarray(oh), dims,
+                                    preferred_element_type=jnp.float32)
+            out = d if out is None else out + d
+        return out
+    gather_dims = (((0,), (0,)), ((), ()))
+    reduce_dims = (((1,), (1,)), ((), ()))
+    vg = jnp.asarray(v[:, :32])     # free axis 32 -> stacked fast path
+    np.testing.assert_array_equal(np.asarray(_dot3(vg, jnp.asarray(oh),
+                                                   gather_dims)),
+                                  np.asarray(loop3(vg, gather_dims)))
+    mr = jnp.asarray(rng.standard_normal((27, 128)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(_dot3(mr, jnp.asarray(oh),
+                                                   reduce_dims)),
+                                  np.asarray(loop3(mr, reduce_dims)))
 
 
 @pytest.fixture(scope="module")
