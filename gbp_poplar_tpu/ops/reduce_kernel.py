@@ -308,6 +308,71 @@ def build_fused_window(
     return None
 
 
+def build_stacked_windows(
+    shard_idx: list, n_var: int, block_edges: int, shard_len: int,
+    max_span: int = 1024, max_whole_table: int = 1024,
+) -> BlockedIndex | None:
+    """Per-shard fused-sweep windows, stacked for ``shard_map``.
+
+    The reference runs the *same* codelets at any chip count
+    (ba/ba.cpp:614-649); the TPU equivalent is the fused sweep kernel
+    running unchanged inside every shard. ``shard_idx[s]`` holds shard
+    s's REAL local edge->variable ids (inert runtime padding excluded);
+    every shard's runtime edge extent is ``shard_len`` and its variable
+    axis ``n_var`` (global for replicated kinds, the block size for the
+    map-partitioned landmark axis).
+
+    Returns ONE BlockedIndex whose ``base``/``visited`` arrays are the
+    per-shard arrays concatenated along the leading axis with COMMON
+    static aux (w, block size, kind) — sharding both arrays over the mesh
+    with ``P('edges')`` hands each shard exactly its local window
+    structure, so the in-kernel gather/reduce runs per shard exactly as
+    it does single-chip. None when any shard lacks a grid window and the
+    variable table is too large for whole-table windows (the sweep then
+    falls back to the unfused gather + segment-sum path).
+    """
+    nb = -(-shard_len // block_edges)
+    n_cells = -(-n_var // 128) + 1
+    parts = []
+    grid_ok = True
+    for ix in shard_idx:
+        ix = np.asarray(ix)
+        if ix.size == 0:
+            parts.append(None)       # inert shard: zero-base windows below
+            continue
+        b = build_fused_window(ix, n_var, block_edges,
+                               n_edges_padded=shard_len, max_span=max_span,
+                               max_whole_table=0)   # grid windows or bust
+        if b is None or b.k != 0 or b.base.shape[0] != nb:
+            grid_ok = False
+            break
+        parts.append(b)
+    if grid_ok:
+        w = max((p.w for p in parts if p is not None), default=128)
+        bases, visits = [], []
+        for p in parts:
+            if p is None:
+                v = np.zeros((n_cells,), bool)
+                v[0] = True
+                bases.append(np.zeros((nb,), np.int32))
+                visits.append(v)
+            else:
+                bases.append(np.asarray(p.base))
+                visits.append(np.asarray(p.visited))
+        return BlockedIndex(
+            base=jnp.asarray(np.concatenate(bases)),
+            visited=jnp.asarray(np.concatenate(visits)),
+            w=int(w), block_edges=block_edges, stride=0, k=0)
+    if n_var <= max_whole_table:
+        n = len(shard_idx)
+        w = int(2 ** np.ceil(np.log2(max(n_var, 128))))
+        return BlockedIndex(
+            base=jnp.zeros((n * nb,), jnp.int32),
+            visited=jnp.ones((n,), bool),
+            w=w, block_edges=block_edges, stride=0, k=-1)
+    return None
+
+
 def _gather_kernel(w: int, comp: int, base_ref, idx_ref, src_ref, out_ref):
     i = plx.program_id(0)
     v0 = base_ref[i]

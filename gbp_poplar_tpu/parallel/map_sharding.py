@@ -34,7 +34,10 @@ from ..core import gbp
 from ..core.factor_graph import (
     GBPGraph, GBPState, GRAPH_EDGE_FIELDS, STATE_EDGE_FIELDS,
 )
-from .sharding import EDGE_AXIS, _EDGE_1D_FIELDS, _GRAPH_DROPPED_FIELDS
+from .sharding import (
+    EDGE_AXIS, _EDGE_1D_FIELDS, _GRAPH_DROPPED_FIELDS,
+    _GRAPH_WINDOW_FIELDS, expand_specs, real_edge_count,
+)
 
 # landmark-axis fields (sharded in map mode; trailing variable axis)
 _STATE_LMK_FIELDS = ("lmk_eta", "lmk_lam", "lmk_prior_eta", "lmk_prior_lam",
@@ -51,9 +54,11 @@ def _spec(field: str, sharded_fields, one_d_fields) -> P:
 
 def map_graph_specs() -> GBPGraph:
     return GBPGraph(**{
-        f: (None if f in _GRAPH_DROPPED_FIELDS else _spec(
-            f, set(GRAPH_EDGE_FIELDS) | set(_GRAPH_LMK_FIELDS),
-            _EDGE_1D_FIELDS | _LMK_1D_FIELDS))
+        f: (None if f in _GRAPH_DROPPED_FIELDS
+            else P(EDGE_AXIS) if f in _GRAPH_WINDOW_FIELDS
+            else _spec(
+                f, set(GRAPH_EDGE_FIELDS) | set(_GRAPH_LMK_FIELDS),
+                _EDGE_1D_FIELDS | _LMK_1D_FIELDS))
         for f in GBPGraph._fields
     })
 
@@ -67,17 +72,27 @@ def map_state_specs() -> GBPState:
 
 
 def partition_by_landmark(
-    graph: GBPGraph, state: GBPState, n_shards: int
+    graph: GBPGraph, state: GBPState, n_shards: int,
+    cfg: GBPConfig | None = None,
 ) -> tuple[GBPGraph, GBPState]:
     """Repartition (host-side) so shard s owns landmark block s and all of
     its edges; landmark indices become block-local.
 
     Edge blocks are padded to a common length with inert edges; the
     landmark axis is padded to a multiple of n_shards with dummy landmarks
-    (identity priors, never observed).
+    (identity priors, never observed). Build-time inert padding edges
+    (trailing cam 0 / lmk 0 run) are dropped — the partitioned layout has
+    its own inert fill.
+
+    With ``cfg`` given, per-shard fused-sweep windows are built (stacked
+    BlockedIndex, ops/reduce_kernel.build_stacked_windows): each shard's
+    edges are landmark-sorted and block-local by construction, exactly the
+    structure the fused kernel's windowed gather/reduce needs, so
+    multi-chip runs the same kernel as single-chip.
     """
     lmk_idx = np.asarray(graph.lmk_idx)
-    e = len(lmk_idx)
+    e = real_edge_count(graph.cam_idx, lmk_idx)
+    lmk_idx = lmk_idx[:e]
     l = graph.n_points
     l_blk = -(-l // n_shards)
     l_pad = n_shards * l_blk - l
@@ -116,6 +131,23 @@ def partition_by_landmark(
         cam_win=None,
         lmk_win=None,
     )
+    if cfg is not None and e_blk > 0:
+        from ..ops.reduce_kernel import build_stacked_windows
+
+        def shard_lists(vals):
+            v = np.asarray(vals)[order]
+            return [v[starts[s]:starts[s + 1]] for s in range(n_shards)]
+
+        kb = max(cfg.pallas_block_edges, 1024)
+        cam_win = build_stacked_windows(
+            shard_lists(np.asarray(graph.cam_idx)[:e]),
+            graph.n_keyframes, kb, e_blk)
+        # the landmark axis is local per shard: n_var = block size
+        lmk_win = build_stacked_windows(
+            shard_lists(lmk_local), l_blk, kb, e_blk)
+        if cam_win is not None and lmk_win is not None:
+            graph_fields["cam_win"] = cam_win
+            graph_fields["lmk_win"] = lmk_win
 
     def pad_lmk(x, fill=0.0):
         x = np.asarray(x)
@@ -158,10 +190,9 @@ class MapShardedSolver:
     insert_keyframe: callable   # (state, graph, new_kf, av_depth) -> state
 
     def prepare(self, graph: GBPGraph, state: GBPState):
-        graph, state = partition_by_landmark(graph, state, self.mesh.size)
-        gspec = map_graph_specs()
-        if graph.intr is None:
-            gspec = gspec._replace(intr=None)
+        graph, state = partition_by_landmark(graph, state, self.mesh.size,
+                                             self.cfg)
+        gspec = expand_specs(graph, map_graph_specs())
         gs = jax.tree.map(lambda s: NamedSharding(self.mesh, s), gspec)
         ss = jax.tree.map(lambda s: NamedSharding(self.mesh, s),
                           map_state_specs())

@@ -71,19 +71,50 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (EDGE_AXIS,))
 
 
-# Single-chip reduction accelerators; dropped for sharded graphs (see
-# pad_edges) — their indices are global-edge-ordered and do not shard.
+# Single-chip reduction accelerators dropped for sharded graphs — their
+# indices are global-edge-ordered and do not shard. The FUSED sweep windows
+# (cam_win/lmk_win) are NOT dropped: pad_edges rebuilds them per shard and
+# stacks them (ops/reduce_kernel.build_stacked_windows), so multi-chip runs
+# the same fused kernel as single-chip — the TPU equivalent of the
+# reference compiling one set of codelets for any --ipus N
+# (ba/ba.cpp:614-649, 661).
 _GRAPH_DROPPED_FIELDS = frozenset({
-    "cam_onehot", "cam_blocked", "lmk_blocked", "cam_win", "lmk_win",
+    "cam_onehot", "cam_blocked", "lmk_blocked",
 })
+# Stacked per-shard window indexes: both leaves (base [n*nb],
+# visited [n*nc]) shard along their leading axis, handing every shard its
+# local window structure.
+_GRAPH_WINDOW_FIELDS = ("cam_win", "lmk_win")
 
 
 def graph_specs(mesh: Mesh) -> GBPGraph:
+    """Sharding specs for the graph pytree.
+
+    Window fields carry a spec-tree PREFIX (one P broadcast over the
+    BlockedIndex leaves) — valid for shard_map in_specs; expand against a
+    concrete graph with :func:`graph_shardings` for device_put.
+    """
     del mesh
     return GBPGraph(**{
         f: (None if f in _GRAPH_DROPPED_FIELDS
+            else P(EDGE_AXIS) if f in _GRAPH_WINDOW_FIELDS
             else _edge_spec(f) if f in _GRAPH_EDGE_FIELDS else P())
         for f in GBPGraph._fields
+    })
+
+
+def expand_specs(template, specs):
+    """Exact per-leaf spec tree from a per-FIELD spec tree: broadcast each
+    field's spec over that field's subtree of ``template`` (None fields
+    stay None; BlockedIndex fields become BlockedIndex-of-specs). Needed
+    because jax.device_put wants exact trees while shard_map accepts
+    prefixes."""
+    fields = type(template)._fields
+    return type(template)(**{
+        f: (None if getattr(template, f) is None
+            else jax.tree.map(lambda _, s=getattr(specs, f): s,
+                              getattr(template, f)))
+        for f in fields
     })
 
 
@@ -101,8 +132,47 @@ def _pad_edge_array(x: jax.Array, pad: int) -> jax.Array:
     return jnp.pad(x, widths)
 
 
+def real_edge_count(cam_idx: np.ndarray, lmk_idx: np.ndarray) -> int:
+    """Number of edges before the trailing inert-padding run.
+
+    build_graph pads the edge axis with (cam 0, lmk 0) inert edges. Real
+    edges are canonically (lmk, kf)-sorted, so a trailing (0, 0) run can
+    only be padding (a real (0, 0) edge sorts FIRST unless every edge is
+    (0, 0), in which case trimming is harmless — all windows cover id 0).
+    Window span analysis must exclude the padding: including the id-0 tail
+    after high-landmark edges would blow the final shard's window span.
+    """
+    nz = np.flatnonzero((np.asarray(cam_idx) != 0)
+                        | (np.asarray(lmk_idx) != 0))
+    return int(nz[-1]) + 1 if nz.size else 0
+
+
+def _shard_windows(graph: GBPGraph, n_shards: int,
+                   cfg: GBPConfig) -> GBPGraph:
+    """Rebuild the fused-sweep windows per shard (stacked; see
+    build_stacked_windows). The edge axis must already divide n_shards."""
+    from ..ops.reduce_kernel import build_stacked_windows
+
+    e_loc = graph.n_edges // n_shards
+    ci = np.asarray(graph.cam_idx)
+    li = np.asarray(graph.lmk_idx)
+    real = real_edge_count(ci, li)
+
+    def shards(idx):
+        return [idx[s * e_loc:min((s + 1) * e_loc, real)]
+                for s in range(n_shards)]
+
+    kb = max(cfg.pallas_block_edges, 1024)
+    cam_win = build_stacked_windows(shards(ci), graph.n_keyframes, kb, e_loc)
+    lmk_win = build_stacked_windows(shards(li), graph.n_points, kb, e_loc)
+    if cam_win is None or lmk_win is None:
+        cam_win = lmk_win = None
+    return graph._replace(cam_win=cam_win, lmk_win=lmk_win)
+
+
 def pad_edges(
-    graph: GBPGraph, state: GBPState, n_shards: int
+    graph: GBPGraph, state: GBPState, n_shards: int,
+    cfg: GBPConfig | None = None,
 ) -> tuple[GBPGraph, GBPState, int]:
     """Pad the edge axis to a multiple of ``n_shards`` with inactive edges.
 
@@ -110,31 +180,50 @@ def pad_edges(
     carry ``meas_var = 1`` (any positive value; they never contribute), and
     ``active = 0`` so every message they emit is forced to zero.
 
+    With ``cfg`` given, the fused-sweep windows are REBUILT per shard
+    (stacked BlockedIndex; shard s's slice is its local window structure)
+    so the sharded sweep runs the same fused kernel as single-chip.
+    Without it they are dropped (the sweep falls back to the unfused
+    gather + segment-sum path).
+
     Returns (graph, state, n_padded_edges).
     """
     e = graph.n_edges
     # One-hot / slot reductions are single-chip optimisations keyed on the
     # global edge order; the sharded path always reduces via per-shard
-    # segment_sum + psum.
+    # segment_sum + psum (or the fused kernel's windowed epilogue).
     graph = graph._replace(cam_onehot=None, cam_blocked=None,
                            lmk_blocked=None, cam_win=None, lmk_win=None)
     pad = (-e) % n_shards
     if pad == 0:
+        if cfg is not None:
+            graph = _shard_windows(graph, n_shards, cfg)
         return graph, state, 0
+    if graph.intr is None:
+        intr_pad = None
+    else:
+        # padding edges carry cam_idx == 0, so they must carry CAMERA 0's
+        # intrinsics (not edge 0's camera's): the intrinsics refit's
+        # per-camera segment_max would otherwise absorb a foreign value
+        # into camera 0's row
+        ci = np.asarray(graph.cam_idx)
+        i0 = int(np.argmax(ci == 0)) if (ci == 0).any() else 0
+        intr_pad = jnp.concatenate(
+            [graph.intr,
+             jnp.broadcast_to(graph.intr[:, i0:i0 + 1], (3, pad))], axis=1)
     graph = graph._replace(
         cam_idx=_pad_edge_array(graph.cam_idx, pad),
         lmk_idx=_pad_edge_array(graph.lmk_idx, pad),
         meas=_pad_edge_array(graph.meas, pad),
         meas_var=jnp.concatenate(
             [graph.meas_var, jnp.ones((pad,), graph.meas_var.dtype)]),
-        intr=(None if graph.intr is None
-              else jnp.concatenate(
-                  [graph.intr,
-                   jnp.broadcast_to(graph.intr[:, :1], (3, pad))], axis=1)),
+        intr=intr_pad,
     )
     state = state._replace(**{
         f: _pad_edge_array(getattr(state, f), pad) for f in _STATE_EDGE_FIELDS
     })
+    if cfg is not None:
+        graph = _shard_windows(graph, n_shards, cfg)
     return graph, state, pad
 
 
@@ -142,11 +231,9 @@ def device_put_sharded(
     mesh: Mesh, graph: GBPGraph, state: GBPState
 ) -> tuple[GBPGraph, GBPState]:
     """Place graph/state on the mesh with their canonical shardings."""
-    gspec = graph_specs(mesh)
-    if graph.intr is None:
-        # spec tree must structurally match the graph pytree here (exact
-        # tree.map below, not shard_map's prefix broadcasting)
-        gspec = gspec._replace(intr=None)
+    # per-field specs broadcast over each field's subtree (None fields
+    # dropped, BlockedIndex windows expanded leaf-wise)
+    gspec = expand_specs(graph, graph_specs(mesh))
     gs = jax.tree.map(lambda s: NamedSharding(mesh, s), gspec)
     ss = jax.tree.map(lambda s: NamedSharding(mesh, s), state_specs(mesh))
     return (
@@ -171,7 +258,7 @@ class ShardedSolver:
     run: callable   # (state, graph, n_iters, iter_offset, warm) -> (state, diag)
 
     def prepare(self, graph: GBPGraph, state: GBPState):
-        graph, state, _ = pad_edges(graph, state, self.mesh.size)
+        graph, state, _ = pad_edges(graph, state, self.mesh.size, self.cfg)
         return device_put_sharded(self.mesh, graph, state)
 
 

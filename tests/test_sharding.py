@@ -145,6 +145,133 @@ def test_sharded_pallas_on_tpu():
     assert errs[-1] < errs[0]
 
 
+@pytest.mark.parametrize("n_devices", [2, 4])
+def test_sharded_fused_kernel_path(problem, n_devices):
+    """Multi-chip runs the SAME fused sweep kernel as single-chip (the
+    reference compiles one set of codelets for any --ipus N,
+    ba/ba.cpp:614-649): prepare() must rebuild per-shard windows, the
+    sharded sweep must take the fused path, and one initialise+sweep must
+    match the single-chip fused sweep to fp32 reduction-order noise."""
+    cfg = GBPConfig(use_pallas="interpret")
+    graph = build_graph(problem, cfg)
+    assert graph.cam_win is not None       # single-chip fused available
+    state = init_state(problem, cfg)
+    s1 = gbp.gbp_sweep(gbp.initialise(state, graph, cfg), graph, cfg)
+
+    mesh = make_mesh(n_devices)
+    solver = make_sharded_solver(mesh, cfg)
+    g2, st2 = solver.prepare(build_graph(problem, cfg),
+                             init_state(problem, cfg))
+    # the windows survived sharding -> gbp_sweep takes the fused branch
+    assert g2.cam_win is not None and g2.lmk_win is not None
+    assert g2.cam_win.base.shape[0] % n_devices == 0
+    s2 = solver.sweep(solver.initialise(st2, g2), g2)
+
+    scale = np.abs(np.asarray(s1.cam_eta)).max()
+    np.testing.assert_allclose(
+        np.asarray(s2.cam_eta) / scale, np.asarray(s1.cam_eta) / scale,
+        rtol=0, atol=1e-4)
+    lscale = np.abs(np.asarray(s1.lmk_eta)).max()
+    np.testing.assert_allclose(
+        np.asarray(s2.lmk_eta) / lscale, np.asarray(s1.lmk_eta) / lscale,
+        rtol=0, atol=1e-4)
+    e = problem.n_edges
+    mscale = np.abs(np.asarray(s1.msg_c_eta)).max()
+    np.testing.assert_allclose(
+        np.asarray(s2.msg_c_eta)[:, :e] / mscale,
+        np.asarray(s1.msg_c_eta)[:, :e] / mscale, rtol=0, atol=1e-4)
+
+
+@pytest.mark.parametrize("n_devices", [2, 4])
+def test_map_sharded_fused_kernel_path(problem, n_devices):
+    """Map-partitioned mode also runs the fused kernel per shard; beliefs
+    after initialise + 1 iteration match single-chip (landmark axis is the
+    global order plus trailing dummy padding)."""
+    from gbp_poplar_tpu.parallel import make_map_sharded_solver
+    cfg = GBPConfig(use_pallas="interpret")
+    graph = build_graph(problem, cfg)
+    state = init_state(problem, cfg)
+    _, diag1 = jax.jit(lambda s: gbp.solve(s, graph, cfg, n_iters=1))(state)
+
+    mesh = make_mesh(n_devices)
+    solver = make_map_sharded_solver(mesh, cfg)
+    g2, st2 = solver.prepare(build_graph(problem, cfg),
+                             init_state(problem, cfg))
+    assert g2.cam_win is not None and g2.lmk_win is not None
+    _, diag2 = solver.solve(st2, g2, 1)
+    np.testing.assert_allclose(
+        np.asarray(diag2.reproj_err), np.asarray(diag1.reproj_err),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_stacked_window_invariants(problem):
+    """Every real edge's variable id lies inside its block's window on
+    every shard, for both sharding modes (the structural guarantee the
+    in-kernel one-hot gather/reduce depends on)."""
+    from gbp_poplar_tpu.parallel import partition_by_landmark
+    from gbp_poplar_tpu.parallel.sharding import real_edge_count
+
+    def check(idx, base, w, be, k):
+        idx = np.asarray(idx)
+        base = np.asarray(base)
+        for b in range(len(base)):
+            blk = idx[b * be:(b + 1) * be]
+            if blk.size == 0:
+                continue
+            lo = 0 if k == -1 else base[b]
+            assert blk.min() >= lo and blk.max() < lo + w, (
+                f"block {b}: ids [{blk.min()}, {blk.max()}] outside "
+                f"window [{lo}, {lo + w})")
+
+    cfg = GBPConfig()
+    n = 4
+    graph = build_graph(problem, cfg)
+    state = init_state(problem, cfg)
+
+    # edge-sharded: global order split at shard boundaries
+    g2, _, _ = pad_edges(graph, state, n, cfg)
+    e_loc = g2.n_edges // n
+    real = real_edge_count(g2.cam_idx, g2.lmk_idx)
+    nb = g2.cam_win.base.shape[0] // n
+    be = g2.cam_win.block_edges
+    for s in range(n):
+        sl = slice(s * e_loc, min((s + 1) * e_loc, real))
+        check(np.asarray(g2.cam_idx)[sl],
+              np.asarray(g2.cam_win.base)[s * nb:(s + 1) * nb],
+              g2.cam_win.w, be, g2.cam_win.k)
+        check(np.asarray(g2.lmk_idx)[sl],
+              np.asarray(g2.lmk_win.base)[s * nb:(s + 1) * nb],
+              g2.lmk_win.w, be, g2.lmk_win.k)
+
+    # map-partitioned: block-local landmark ids, replicated cams
+    g3, s3 = partition_by_landmark(graph, state, n, cfg)
+    e_blk = g3.n_edges // n
+    nb3 = g3.lmk_win.base.shape[0] // n
+    be3 = g3.lmk_win.block_edges
+    act = np.asarray(s3.active) > 0
+    for s in range(n):
+        sl = slice(s * e_blk, (s + 1) * e_blk)
+        m = act[sl]
+        li = np.asarray(g3.lmk_idx)[sl][m]
+        ci = np.asarray(g3.cam_idx)[sl][m]
+        if li.size == 0:
+            continue
+        # per-block check needs the in-block position of each active edge
+        pos = np.flatnonzero(m)
+        for b in range(nb3):
+            inb = (pos >= b * be3) & (pos < (b + 1) * be3)
+            if not inb.any():
+                continue
+            lo_l = (0 if g3.lmk_win.k == -1
+                    else np.asarray(g3.lmk_win.base)[s * nb3 + b])
+            lo_c = (0 if g3.cam_win.k == -1
+                    else np.asarray(g3.cam_win.base)[s * nb3 + b])
+            assert li[inb].min() >= lo_l
+            assert li[inb].max() < lo_l + g3.lmk_win.w
+            assert ci[inb].min() >= lo_c
+            assert ci[inb].max() < lo_c + g3.cam_win.w
+
+
 @pytest.mark.parametrize("n_devices", [2, 8])
 def test_map_sharded_converges_like_single(problem, n_devices):
     """Map-partitioned mode (landmark blocks sharded, keyframes boundary):
