@@ -529,10 +529,24 @@ def gbp_sweep(
         bc = jnp.take(cam_tbl, graph.cam_idx, axis=0)         # [E, 32]
         bl = jnp.take(lmk_tbl, graph.lmk_idx, axis=0)         # [E, 16]
     else:
-        bc = jnp.take(jnp.concatenate([state.cam_eta, state.cam_lam]),
-                      graph.cam_idx, axis=1)                  # [27, E]
-        bl = jnp.take(jnp.concatenate([state.lmk_eta, state.lmk_lam]),
-                      graph.lmk_idx, axis=1)                  # [9, E]
+        cam_src = jnp.concatenate([state.cam_eta, state.cam_lam])
+        lmk_src = jnp.concatenate([state.lmk_eta, state.lmk_lam])
+        if use_pallas and graph.cam_blocked is not None:
+            # window-less large graph on the unfused kernel path (e.g.
+            # pallas_fused=False at Ladybug scale): the blocked one-hot MXU
+            # gather beats the XLA gather's ~20 ns/index latency wall
+            # (ops/reduce_kernel.py)
+            from ..ops.reduce_kernel import blocked_gather
+            bc = blocked_gather(cam_src, graph.cam_idx, graph.cam_blocked,
+                                interpret=_interpret(cfg))     # [27, E]
+        else:
+            bc = jnp.take(cam_src, graph.cam_idx, axis=1)      # [27, E]
+        if use_pallas and graph.lmk_blocked is not None:
+            from ..ops.reduce_kernel import blocked_gather
+            bl = blocked_gather(lmk_src, graph.lmk_idx, graph.lmk_blocked,
+                                interpret=_interpret(cfg))     # [9, E]
+        else:
+            bl = jnp.take(lmk_src, graph.lmk_idx, axis=1)      # [9, E]
 
     inputs = (bc, bl,
               graph.meas, graph.meas_var,

@@ -240,11 +240,14 @@ def _dot3(v, oh, dims, oh_first=False, single_pass=False):
         # on the contraction passes. Bit-exact vs the 3-pass loop: the
         # stacked rows are independent MXU output rows (same per-limb dots)
         # and the final adds keep the hi+mid+lo order.
-        (vc,) = dims[0][0]
-        free = 1 - vc
-        m = v.shape[free]
-        if v.ndim == 2 and 3 * m <= 128:
-            stacked = jnp.concatenate([hi, mid, lo], axis=free)
+        # d[:m] row slicing below assumes NO batch dims and exactly one
+        # contracting dim; anything else falls through to the 3-pass loop
+        simple = (v.ndim == 2 and len(dims[0][0]) == 1
+                  and not dims[1][0] and not dims[1][1])
+        m = v.shape[1 - dims[0][0][0]] if simple else 0
+        if simple and 3 * m <= 128:
+            stacked = jnp.concatenate([hi, mid, lo],
+                                      axis=1 - dims[0][0][0])
             d = jax.lax.dot_general(stacked, oh, dims,
                                     preferred_element_type=jnp.float32)
             return (d[:m] + d[m:2 * m]) + d[2 * m:]
