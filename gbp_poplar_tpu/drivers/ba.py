@@ -31,11 +31,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gn_check", action="store_true",
                    help="also run the Gauss-Newton/Schur baseline and "
                         "report agreement")
-    p.add_argument("--polish", action="store_true",
+    # Polish is ON by default: GBP converges to GN-parity reprojection
+    # error on every sequence, but the fr1 Huber objectives are multi-basin
+    # along near-gauge modes and plain message passing can land cm-level
+    # ATE from the MAP at the reference's 1500-iteration budget
+    # (docs/VALIDATION.md "Remaining ATE gap"). The 15 warm-started LM
+    # iterations cost ~1% of the solve and land on the exact MAP
+    # (0.03-1.4 mm vs GN on every TUM sequence) — safe defaults beat a
+    # footnote. --no_polish restores raw message-passing output.
+    p.add_argument("--polish", dest="polish", action="store_true",
+                   default=True,
                    help="refine the GBP solution to the exact MAP with a "
                         "warm-started Levenberg-Marquardt/Schur pass "
                         "(the exported trajectory uses the polished means; "
-                        "the checkpoint keeps the GBP state)")
+                        "the checkpoint keeps the GBP state). DEFAULT ON; "
+                        "disable with --no_polish")
+    p.add_argument("--no_polish", dest="polish", action="store_false",
+                   help="export the raw GBP means without the LM polish")
     p.add_argument("--refine_intrinsics", action="store_true",
                    help="Snavely/BAL problems only: between execution "
                         "chunks, refit every camera's (f, k1, k2) with a "
@@ -79,29 +91,30 @@ def main(argv=None) -> int:
         state = init_state(problem, cfg)
         start_iter = 0
 
-    if args.refine_intrinsics:
-        if problem.intrinsics is None:
-            print("error: --refine_intrinsics needs a Snavely/BAL problem "
-                  "(per-camera intrinsics); this file uses the shared "
-                  "pinhole model", file=sys.stderr)
-            return 2
-        if args.devices > 1:
-            print("error: --refine_intrinsics is single-chip for now",
-                  file=sys.stderr)
-            return 2
+    if args.refine_intrinsics and problem.intrinsics is None:
+        print("error: --refine_intrinsics needs a Snavely/BAL problem "
+              "(per-camera intrinsics); this file uses the shared "
+              "pinhole model", file=sys.stderr)
+        return 2
 
     solver = _make_solver(graph, cfg, args.devices)
     state = solver.prep(state)
+    # the graph the solver actually runs (prepared/padded when sharded);
+    # refit + relinearise below are plain jitted functions over it — under
+    # --devices > 1 XLA's GSPMD partitions them over the same sharded
+    # state/graph the sweeps use (per-edge work sharded, per-camera
+    # segment sums all-reduced)
+    run_graph = solver.run_graph()
 
     refit_fn = relin_fn = None
-    intr = graph.intr
+    intr = run_graph.intr
     n_refits = [0, 0]               # accepted, attempted
     if args.refine_intrinsics:
         from ..core.intrinsics import refit_intrinsics
         refit_fn = jax.jit(lambda s, it: refit_intrinsics(
-            s, graph._replace(intr=it), cfg))
+            s, run_graph._replace(intr=it), cfg))
         relin_fn = jax.jit(lambda s, it: gbp.linearise_all(
-            s, graph._replace(intr=it), cfg))
+            s, run_graph._replace(intr=it), cfg))
 
     if args.profile:
         jax.profiler.start_trace(args.profile_dir)
@@ -137,6 +150,14 @@ def main(argv=None) -> int:
             common.print_iteration(i + j, errs[j], costs[j],
                                    int(relins[j]), int(robusts[j]))
         i += n
+        if args.v:
+            # verbose belief stream (reference --v prints every iteration,
+            # ba/ba.cpp:1030-1051; the on-device chunked loop surfaces the
+            # means at chunk cadence instead — use --print_every 1 for the
+            # finest granularity)
+            v_cam, _ = analysis.belief_means(state)
+            np.set_printoptions(precision=5, suppress=True)
+            print(f"beliefs (cam means) at iter {i}:\n{v_cam}", flush=True)
         # Independent host oracle at chunk cadence (the reference recomputes
         # the error host-side EVERY iteration from streamed beliefs,
         # ba/util.cpp:74-144; the device telemetry shares ops.planes with
@@ -164,8 +185,13 @@ def main(argv=None) -> int:
                 # intrinsics; refresh them all at the current means
                 state = relin_fn(state, intr)
                 n_refits[0] += 1
-                problem.intrinsics = _per_camera_intr(intr, graph, problem)
-                graph = graph._replace(intr=intr)
+                problem.intrinsics = _per_camera_intr(intr, run_graph,
+                                                      problem)
+                # keep the raw (build-padded) graph in sync for the
+                # checkpoint; sharded prep only appends padding, so the
+                # leading slice is the build layout
+                graph = graph._replace(
+                    intr=intr[:, :graph.n_edges])
         if args.checkpoint and args.checkpoint_every and (
                 i % args.checkpoint_every < chunk):
             checkpoint.save_checkpoint(args.checkpoint, solver.unprep(state),
@@ -261,6 +287,9 @@ class _SingleChip:
     def unprep(self, state):
         return state
 
+    def run_graph(self):
+        return self._graph
+
     def run(self, state, n, offset, warm=None):
         import jax.numpy as jnp
         if warm is None:
@@ -297,11 +326,21 @@ class _Sharded:
             f: jax.device_get(getattr(state, f))[..., :e]
             for f in STATE_EDGE_FIELDS})
 
+    def run_graph(self):
+        assert self._graph is not None, "call prep() first"
+        return self._graph
+
     def initialise(self, state):
         return self._solver.initialise(state, self._graph)
 
     def run(self, state, n, offset, warm=None):
         return self._solver.run(state, self._graph, n, offset, warm)
+
+    def run_with_intr(self, state, n, offset, warm, intr):
+        # same jitted shard_map program: the graph is a traced operand, so
+        # swapping the intrinsics planes between chunks costs no recompile
+        return self._solver.run(state, self._graph._replace(intr=intr),
+                                n, offset, warm)
 
 
 def _per_camera_intr(intr, graph, problem) -> np.ndarray:

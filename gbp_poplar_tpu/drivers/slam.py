@@ -80,28 +80,32 @@ class _MapShardedSlam:
         from jax.sharding import NamedSharding
 
         from ..parallel import make_map_sharded_solver, make_mesh
-        from ..parallel.map_sharding import map_graph_specs, map_state_specs
+        from ..parallel.map_sharding import map_state_specs
         self._solver = make_map_sharded_solver(make_mesh(n_devices), cfg)
         self._graph_raw = graph
         self._ibk = ibk
         self._av_depth = av_depth
         self._mesh = self._solver.mesh
-        self._gspec = jax.tree.map(
-            lambda s: NamedSharding(self._mesh, s), map_graph_specs())
         self._sspec = jax.tree.map(
             lambda s: NamedSharding(self._mesh, s), map_state_specs())
         self.graph = None
 
     def prep(self, state, partitioned: bool = False):
         import jax
+        from jax.sharding import NamedSharding
+
+        from ..parallel.map_sharding import map_graph_specs
+        from ..parallel.sharding import expand_specs
 
         if partitioned:
             # resume path: state/graph already in block-local layout
+            # (checkpoints drop derived window structures, so this runs
+            # the unfused sweep; see utils/checkpoint.py)
             graph = self._graph_raw
-            graph = jax.tree.map(
-                lambda x, sh: None if x is None else jax.device_put(x, sh),
-                graph, self._gspec,
-                is_leaf=lambda x: x is None)
+            gs = jax.tree.map(
+                lambda s: NamedSharding(self._mesh, s),
+                expand_specs(graph, map_graph_specs()))
+            graph = jax.tree.map(jax.device_put, graph, gs)
             state = jax.tree.map(jax.device_put, state, self._sspec)
         else:
             graph, state = self._solver.prepare(self._graph_raw, state)
@@ -213,6 +217,13 @@ def main(argv=None) -> int:
         _amend_meta(path, kf=k + 1, devices=args.devices)
 
     def segment_callback(k, st):
+        if args.v:
+            # verbose belief stream at segment cadence (reference --v
+            # prints every iteration, ba/slam.cpp:1060-1101)
+            v_cam, _ = analysis.belief_means(solver.checkpointable(st))
+            np.set_printoptions(precision=5, suppress=True)
+            print(f"beliefs (cam means) after keyframe {k}:\n{v_cam}",
+                  flush=True)
         if not (args.checkpoint and args.checkpoint_every):
             return
         step["since_save"] += ibk
@@ -239,7 +250,14 @@ def main(argv=None) -> int:
 
     final_state = solver.checkpointable(result.state)
     cam_mu, lmk_mu = analysis.belief_means(final_state)
-    if args.polish and args.devices <= 1:
+    # The map-partitioned landmark axis IS the global landmark order plus
+    # trailing dummy padding (partition_by_landmark: block s = global ids
+    # [s*l_blk, (s+1)*l_blk)), so slicing recovers the problem's layout —
+    # polish and the host oracle run identically at any --devices. This is
+    # the TPU analogue of the reference's full-state READ round trips
+    # (ba/slam.cpp:913-948).
+    lmk_mu = lmk_mu[: problem.n_points]
+    if args.polish:
         # same warm-started LM/Schur machinery as the ba driver, against
         # the BATCH annealed-prior objective (the GN baseline's own): a
         # standard post-SLAM global bundle adjustment. The incremental
@@ -257,17 +275,11 @@ def main(argv=None) -> int:
         cam_mu, lmk_mu = pol_cam, np.asarray(res.lmk)
         print(f"polish: reproj {float(res.reproj_err[-1]):.5f} px, "
               f"max camera movement {moved:.5f} m", file=sys.stderr)
-    elif args.polish:
-        print("polish: skipped in map-sharded mode (block-local landmark "
-              "layout)", file=sys.stderr)
-    if args.devices <= 1:
-        # independent host-side oracle (pure NumPy; ba/util.cpp:74-144).
-        # Skipped in map-sharded mode: the partitioned state's landmark
-        # axis is block-local and does not match the problem's ids.
-        o_err, o_cost = evaluation.numpy_reprojection_error(
-            cam_mu, lmk_mu, problem)
-        print(f"host oracle: reproj_err {o_err:.5f} px  cost {o_cost:.4f}",
-              file=sys.stderr)
+    # independent host-side oracle (pure NumPy; ba/util.cpp:74-144)
+    o_err, o_cost = evaluation.numpy_reprojection_error(
+        cam_mu, lmk_mu, problem)
+    print(f"host oracle: reproj_err {o_err:.5f} px  cost {o_cost:.4f}",
+          file=sys.stderr)
     if args.v:
         np.set_printoptions(precision=5, suppress=True)
         print("cam means:\n", cam_mu)

@@ -19,6 +19,8 @@ _ENV = dict(os.environ, GBP_PLATFORM="cpu",
 _REPO = os.path.join(os.path.dirname(__file__), "..")
 
 
+pytestmark = pytest.mark.slow   # full solves / subprocess runs
+
 @pytest.fixture(scope="module")
 def tiny_bal(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("bal") / "tiny.txt")
@@ -50,6 +52,8 @@ def test_ba_cli_end_to_end(tiny_bal, tmp_path):
     assert last < first
     assert os.path.exists(traj) and os.path.exists(ckpt)
     assert "GN baseline" in r.stderr
+    # polish is the ba-driver DEFAULT (safe defaults: exact-MAP output)
+    assert "polish:" in r.stderr
     rows = np.loadtxt(traj)
     assert rows.shape == (5, 8)
 
@@ -87,6 +91,12 @@ def test_ba_cli_polish(tiny_bal, tmp_path):
     assert "polish:" in r.stderr
     # polished output is a valid trajectory
     assert np.isfinite(np.loadtxt(traj)).all()
+    # --no_polish opts back out to raw message-passing means
+    r2 = _run("gbp_poplar_tpu.drivers.ba",
+              "--bal_file", tiny_bal, "--n_iters", "40",
+              "--print_every", "20", "--no_polish")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "polish:" not in r2.stderr
 
 
 def test_slam_cli_resume(tiny_bal, tmp_path):
@@ -141,12 +151,14 @@ def test_bench_emits_json(tiny_bal):
     last stdout line is ONE JSON object with the agreed keys."""
     env = dict(_ENV, GBP_PLATFORM="cpu", GBP_BENCH_SEQ=tiny_bal,
                GBP_BENCH_SWEEPS="20", GBP_BENCH_GUARD_ITERS="80",
-               GBP_BENCH_GUARD_PX="3.0")
+               GBP_BENCH_GUARD_PX="3.0",
+               # the extra fr2robot2 / 1M-edge measurements are TPU-scale
+               GBP_BENCH_EXTRA="0", GBP_BENCH_SCALE="0")
     r = subprocess.run([sys.executable, "bench.py"], capture_output=True,
                        text=True, env=env, cwd=_REPO, timeout=240)
     assert r.returncode == 0, r.stderr[-2000:]
     data = json.loads(r.stdout.strip().splitlines()[-1])
-    assert set(data) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(data) == {"metric", "value", "unit", "vs_baseline", "extra"}
     assert data["value"] > 0 and data["unit"] == "sweeps/s"
 
 
@@ -197,3 +209,22 @@ def test_slam_cli_polish(tiny_bal, tmp_path):
     fin = float(r.stderr.split("final reprojection error: ")[1].split(" px")[0])
     assert pol <= fin + 0.05       # refinement does not degrade the fit
     assert np.loadtxt(traj).shape == (5, 8)
+
+
+def test_slam_cli_sharded_polish(tiny_bal, tmp_path):
+    """Map-sharded --polish + host oracle: the partitioned landmark axis is
+    the global order plus trailing dummies, so the exact-MAP toolchain runs
+    at any --devices (reference: full-state round trips, slam.cpp:913-948)."""
+    traj = str(tmp_path / "tp.txt")
+    r = _run("gbp_poplar_tpu.drivers.slam",
+             "--bal_file", tiny_bal, "--iters_between_kfs", "30",
+             "--print_every", "30", "--avdepth", "6.0",
+             "--devices", "2", "--polish", "--save_traj", traj)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "polish: reproj" in r.stderr
+    assert "host oracle" in r.stderr
+    pol = float(r.stderr.split("polish: reproj ")[1].split(" px")[0])
+    fin = float(
+        r.stderr.split("final reprojection error: ")[1].split(" px")[0])
+    assert pol <= fin + 0.05
+    assert np.isfinite(np.loadtxt(traj)).all()

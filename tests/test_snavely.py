@@ -109,6 +109,7 @@ def test_bal_format_roundtrip(tmp_path, snavely_problem):
 
 
 @pytest.mark.parametrize("mode", ["xla", "kernel", "fused"])
+@pytest.mark.slow
 def test_snavely_gbp_matches_gn(snavely_problem, mode):
     cfg = {"xla": GBPConfig(use_pallas=False),
            "kernel": GBPConfig(use_pallas="interpret", pallas_fused=False),
@@ -158,6 +159,7 @@ def test_snavely_sharded_matches_single(snavely_problem, mode):
     assert abs(e_sh - e_ref) < 1e-3, (e_sh, e_ref)
 
 
+@pytest.mark.slow
 def test_ba_cli_on_bal_dataset(tmp_path, snavely_problem):
     """The user-facing ba driver runs a BAL-dataset file end-to-end
     (autodetected) including the GN cross-check and polish."""
@@ -190,6 +192,7 @@ def perturbed_problem():
     return prob
 
 
+@pytest.mark.slow
 def test_refit_intrinsics_descends_and_guards(perturbed_problem):
     from gbp_poplar_tpu.core.intrinsics import refit_intrinsics
 
@@ -213,6 +216,7 @@ def test_refit_intrinsics_descends_and_guards(perturbed_problem):
     assert cost2 <= cost1 + 1e-3
 
 
+@pytest.mark.slow
 def test_ba_cli_refine_intrinsics(tmp_path, perturbed_problem):
     path = str(tmp_path / "p.txt")
     balio.save_bal(path, perturbed_problem)
@@ -285,3 +289,27 @@ def test_slam_driver_rejects_bal_dataset(tmp_path, snavely_problem):
         cwd=os.path.join(os.path.dirname(__file__), ".."), timeout=240)
     assert r.returncode == 2
     assert "batch" in r.stderr
+
+
+@pytest.mark.slow
+def test_ba_cli_refine_intrinsics_sharded(tmp_path, perturbed_problem):
+    """--refine_intrinsics composes with --devices 2: the refit runs as a
+    plain jitted function over the GSPMD-sharded state/graph between
+    sharded execution chunks."""
+    path = str(tmp_path / "p2.txt")
+    balio.save_bal(path, perturbed_problem)
+    env = dict(os.environ, GBP_PLATFORM="cpu",
+               XLA_FLAGS=os.environ.get("XLA_FLAGS", ""))
+    r = subprocess.run(
+        [sys.executable, "-m", "gbp_poplar_tpu.drivers.ba",
+         "--bal_file", path, "--n_iters", "400",
+         "--print_every", "100", "--devices", "2", "--no_polish",
+         "--refine_intrinsics"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."), timeout=400)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "intrinsics refits: " in r.stderr
+    accepted = int(r.stderr.split("intrinsics refits: ")[1].split("/")[0])
+    assert accepted >= 1
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("iter")]
+    assert float(lines[-1].split()[3]) < float(lines[0].split()[3])
