@@ -1,7 +1,11 @@
-"""Headline benchmark: synchronous GBP sweeps/sec on fr1xyz (single chip).
+"""Headline benchmark: synchronous GBP sweeps/sec on fr1xyz (single chip),
+plus guarded extra measurements (fr2robot2, the Ladybug-scale 1.09M-edge
+synthetic) so the scale story cannot regress silently.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "sweeps/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "sweeps/s", "vs_baseline": N,
+   "extra": {"fr2robot2_sweeps_per_sec": ..., "ladybug_ms_per_sweep": ...,
+             "ladybug_edges": ..., ...}}
 
 The reference repo publishes no numbers (BASELINE.md); the paper it
 implements (arXiv:2003.03134) reports bundle-adjustment convergence in tens
@@ -10,8 +14,12 @@ iteration rate of order 1e3 sweeps/s on fr1-scale graphs. We use
 BASELINE_SWEEPS_PER_SEC = 1000 as that documented order-of-magnitude anchor;
 vs_baseline > 1 means faster than the IPU reference estimate.
 
-A convergence guard (mean reprojection error on fr1xyz must reach < 3 px)
-ensures the measured sweep is the real solver, not a degenerate fast path.
+Guards (each must pass or the benchmark exits non-zero):
+  - fr1xyz: mean reprojection error < 3 px after 500 solver iterations
+    (the measured sweep is the real solver, not a degenerate fast path);
+  - fr2robot2: same guard at 2 px (it converges to ~0.88 px);
+  - ladybug synthetic: reprojection error finite and strictly decreased
+    after the timed chain (the chain runs real sweeps on real state).
 """
 
 import json
@@ -30,19 +38,27 @@ SEQ = "fr1xyz"
 N_SWEEPS = 3000
 GUARD_ITERS = 500
 GUARD_PX = 3.0
+# Ladybug-scale synthetic (the shape of BAL Ladybug-1723): the 1M-edge
+# scale result. Chained scan K=100 (3.7 ms/sweep -> 0.37 s per chain; the
+# ~30 ms dispatch constant amortises to ~0.3 us/sweep).
+LADYBUG_SHAPE = (1723, 156000, 7)   # keyframes, landmarks, obs/landmark
+LADYBUG_K = 100
 
 
-def main():
-    # test hook: a reduced workload exercises the full benchmark contract
-    # (load -> guarded solve -> timed sweeps -> one JSON line) in CI
-    seq = os.environ.get("GBP_BENCH_SEQ", SEQ)
-    n_sweeps = int(os.environ.get("GBP_BENCH_SWEEPS", N_SWEEPS))
-    guard_iters = int(os.environ.get("GBP_BENCH_GUARD_ITERS", GUARD_ITERS))
-    guard_px = float(os.environ.get("GBP_BENCH_GUARD_PX", GUARD_PX))
+def _timed(fn, arg, reps=3):
+    import jax
+    jax.block_until_ready(fn(arg))  # compile + warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(arg))
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
-    from gbp_poplar_tpu.drivers.common import maybe_force_platform
-    maybe_force_platform()
 
+def _bench_tum(seq, n_sweeps, guard_iters, guard_px):
+    """(sweeps/s, err@guard) for a shipped TUM sequence; exits on guard
+    failure."""
     import jax
     import numpy as np
 
@@ -61,7 +77,8 @@ def main():
     jax.block_until_ready(final)
     err = float(np.asarray(diag.reproj_err)[-1])
     if not (err < guard_px):
-        print(f"CONVERGENCE GUARD FAILED: err={err}", file=sys.stderr)
+        print(f"CONVERGENCE GUARD FAILED ({seq}): err={err}",
+              file=sys.stderr)
         sys.exit(1)
 
     # --- timed hot loop: pure sweeps, no per-iter diagnostics ---
@@ -71,22 +88,83 @@ def main():
         st, _ = gbp.run_gbp(st, graph, cfg, n_sweeps, with_diagnostics=False)
         return st
 
-    jax.block_until_ready(hot(state0))  # compile + warm
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(hot(state0))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    sweeps_per_sec = n_sweeps / dt
-
+    dt = _timed(hot, state0)
     print(f"{seq}: {problem.n_edges} edges, err@{guard_iters}={err:.3f}px, "
           f"{dt*1e3/n_sweeps:.3f} ms/sweep", file=sys.stderr)
+    return n_sweeps / dt, err
+
+
+def _bench_ladybug(k_sweeps):
+    """(ms/sweep, n_edges) on the 1.09M-edge synthetic; guards that the
+    timed chain is the real solver (error finite and decreased)."""
+    import jax
+    import numpy as np
+
+    from gbp_poplar_tpu.config import GBPConfig
+    from gbp_poplar_tpu.core import build_graph, init_state, gbp
+    from gbp_poplar_tpu.utils import balio
+
+    cfg = GBPConfig()
+    prob = balio.synthetic_problem_large(*LADYBUG_SHAPE)
+    graph = build_graph(prob, cfg)
+    state = jax.jit(lambda s: gbp.initialise(s, graph, cfg))(
+        init_state(prob, cfg))
+    jax.block_until_ready(state)
+    err0, _ = jax.jit(lambda s: gbp.reprojection_error(s, graph))(state)
+    err0 = float(err0)
+
+    @jax.jit
+    def chain(st):
+        return jax.lax.scan(
+            lambda c, _: (gbp.gbp_sweep(c, graph, cfg), None),
+            st, None, length=k_sweeps)[0]
+
+    dt = _timed(chain, state)
+    final = chain(state)
+    err1, _ = jax.jit(lambda s: gbp.reprojection_error(s, graph))(final)
+    err1 = float(err1)
+    if not (np.isfinite(err1) and err1 < err0):
+        print(f"LADYBUG GUARD FAILED: err {err0} -> {err1}", file=sys.stderr)
+        sys.exit(1)
+    ms = dt * 1e3 / k_sweeps
+    print(f"ladybug: {graph.n_edges} edges, err {err0:.2f} -> {err1:.2f} px "
+          f"after {k_sweeps} sweeps, {ms:.3f} ms/sweep", file=sys.stderr)
+    return ms, graph.n_edges, err1
+
+
+def main():
+    # test hooks: a reduced workload exercises the full benchmark contract
+    # (load -> guarded solve -> timed sweeps -> one JSON line) in CI
+    seq = os.environ.get("GBP_BENCH_SEQ", SEQ)
+    n_sweeps = int(os.environ.get("GBP_BENCH_SWEEPS", N_SWEEPS))
+    guard_iters = int(os.environ.get("GBP_BENCH_GUARD_ITERS", GUARD_ITERS))
+    guard_px = float(os.environ.get("GBP_BENCH_GUARD_PX", GUARD_PX))
+    with_extra = os.environ.get("GBP_BENCH_EXTRA", "1") != "0"
+    with_scale = os.environ.get("GBP_BENCH_SCALE", "1") != "0"
+
+    from gbp_poplar_tpu.drivers.common import maybe_force_platform
+    maybe_force_platform()
+
+    sweeps_per_sec, err = _bench_tum(seq, n_sweeps, guard_iters, guard_px)
+
+    extra = {"err_at_guard_px": round(err, 3)}
+    if with_extra:
+        r2_sps, r2_err = _bench_tum("fr2robot2", n_sweeps, guard_iters,
+                                    min(guard_px, 2.0))
+        extra["fr2robot2_sweeps_per_sec"] = round(r2_sps, 2)
+        extra["fr2robot2_err_at_guard_px"] = round(r2_err, 3)
+    if with_scale:
+        ms, n_edges, lerr = _bench_ladybug(LADYBUG_K)
+        extra["ladybug_ms_per_sweep"] = round(ms, 4)
+        extra["ladybug_edges"] = int(n_edges)
+        extra["ladybug_ns_per_edge"] = round(ms * 1e6 / n_edges, 3)
+
     print(json.dumps({
         "metric": f"gbp_sweeps_per_sec_{seq}",
         "value": round(sweeps_per_sec, 2),
         "unit": "sweeps/s",
         "vs_baseline": round(sweeps_per_sec / BASELINE_SWEEPS_PER_SEC, 3),
+        "extra": extra,
     }))
 
 

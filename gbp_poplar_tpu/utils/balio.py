@@ -122,9 +122,15 @@ def load_bal(path_or_name: str, use_native: bool = True) -> BAProblem:
             problem = None
         if problem is not None:
             return problem
-    # np.fromfile with sep=' ' tokenises on any whitespace — one pass, no
-    # Python-level line loop.
-    tokens = np.fromfile(path, dtype=np.float64, sep=" ")
+    # read + split tokenises on any whitespace in one pass (np.fromfile
+    # with sep=' ' deprecates — and will raise — on non-numeric trailing
+    # data, which the strict token-count check below must see instead)
+    with open(path) as f:
+        raw = f.read().split()
+    try:
+        tokens = np.asarray(raw, dtype=np.float64)
+    except ValueError as exc:
+        raise ValueError(f"{path}: non-numeric token in BAL file: {exc}")
     return _from_tokens(tokens, path)
 
 

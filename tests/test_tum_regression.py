@@ -16,6 +16,8 @@ from gbp_poplar_tpu.utils import balio, evaluation
 from conftest import requires_sequences
 
 
+pytestmark = pytest.mark.slow   # full solves / subprocess runs
+
 @requires_sequences
 def test_fr2robot2_reference_schedule_matches_gn():
     prob = balio.load_bal("fr2robot2")
@@ -41,3 +43,57 @@ def pl_means(state):
     from gbp_poplar_tpu.utils import analysis
     cam_mu, _ = analysis.belief_means(state)
     return cam_mu
+
+
+@requires_sequences
+def test_fr1xyz_short_budget_px():
+    """fr1xyz px-convergence guard (the hardest-won round-2 result was
+    previously pinned only by scripts/docs): the library-default schedule
+    must reach GN-level reprojection error within a short budget.
+    Round-2/3 measured ~1.6 px at 300 iters on CPU; fail at 2.5."""
+    prob = balio.load_bal("fr1xyz")
+    cfg = GBPConfig()
+    graph = build_graph(prob, cfg)
+    state = init_state(prob, cfg)
+    _, diag = jax.jit(
+        lambda s: gbp.solve(s, graph, cfg, n_iters=300))(state)
+    errs = np.asarray(diag.reproj_err)
+    assert np.isfinite(errs).all()
+    assert errs[-1] < 2.5, errs[-1]
+
+
+@requires_sequences
+def test_fr1desk_default_schedule_polishes_to_map():
+    """fr1desk guard on the DEFAULT ba-driver schedule (drift recapture
+    0.05 + coarse 16): px at GN parity and LM-polish of the GBP point
+    lands on the exact MAP (measured 11381.66 vs GN 11381.69 under the CI
+    device flags). The raw-GBP basin is fp32-bistable on desk, and the
+    pure lazy schedule (relin_drift 0, no accel) outright DIVERGES under
+    this env's reduction order (2246 px at 1500 iters — the documented
+    bistability that makes drift recapture the default, config.py), so
+    the polished cost is the only CI-pinnable desk invariant. A schedule
+    drift that walks desk into a bad basin polishes +5.8% or multi-x."""
+    import jax.numpy as jnp
+
+    from gbp_poplar_tpu.drivers.ba import _polish_problem
+
+    prob = balio.load_bal("fr1desk")
+    cfg = GBPConfig(coarse_groups=16)       # the ba-driver defaults
+    graph = build_graph(prob, cfg)
+    state = init_state(prob, cfg)
+    final, diag = jax.jit(
+        lambda s: gbp.solve(s, graph, cfg, n_iters=1500))(state)
+    errs = np.asarray(diag.reproj_err)
+    assert np.isfinite(errs).all()
+    assert errs[-1] < 2.5, errs[-1]          # GN parity (GN: 1.386 px)
+
+    res_gn = gauss_newton.solve_problem(prob, cfg, n_lm_iters=25)
+    from gbp_poplar_tpu.utils import analysis
+    cam_mu, lmk_mu = analysis.belief_means(final)
+    res_pol = gauss_newton.solve_lm(
+        jnp.asarray(cam_mu), jnp.asarray(lmk_mu),
+        *_polish_problem(prob, cfg), cfg, n_lm_iters=30)
+    cost_pol = float(res_pol.cost[-1])
+    cost_gn = float(res_gn.cost[-1])
+    assert np.isfinite(cost_pol) and np.isfinite(cost_gn)
+    assert cost_pol < 1.02 * cost_gn, (cost_pol, cost_gn)
