@@ -110,12 +110,13 @@ def update_beliefs(
 def _linearise_planes(state: GBPState, graph: GBPGraph, cfg: GBPConfig):
     """Relinearise every factor at current belief means (plane form).
 
-    Returns (packed potentials..., robust, mu [9, E] packed means).
+    Returns (packed potentials..., robust, mu [9, E] packed means,
+    z [1, E] landmark depth in the camera frame — for depth guards).
     """
     cam_mu, lmk_mu = _variable_means(state)
     mu_c = jnp.take(cam_mu, graph.cam_idx, axis=1)     # [6, E]
     mu_l = jnp.take(lmk_mu, graph.lmk_idx, axis=1)     # [3, E]
-    eta_c, eta_l, lam_cc, lam_cl, lam_ll, robust = pl.linearise(
+    eta_c, eta_l, lam_cc, lam_cl, lam_ll, robust, y_cf = pl.linearise(
         pl.unpack_vec(mu_c, 6), pl.unpack_vec(mu_l, 3), graph.k,
         graph.meas[0:1], graph.meas[1:2], graph.meas_var[None],
         cfg.huber_nstds,
@@ -123,7 +124,7 @@ def _linearise_planes(state: GBPState, graph: GBPGraph, cfg: GBPConfig):
     return (pl.pack_vec(eta_c), pl.pack_vec(eta_l),
             pl.pack_sym(lam_cc, 6), pl.pack_full(lam_cl),
             pl.pack_sym(lam_ll, 3), robust[0],
-            jnp.concatenate([mu_c, mu_l]))
+            jnp.concatenate([mu_c, mu_l]), y_cf[2])
 
 
 def linearise_all(state: GBPState, graph: GBPGraph, cfg: GBPConfig) -> GBPState:
@@ -132,7 +133,7 @@ def linearise_all(state: GBPState, graph: GBPGraph, cfg: GBPConfig) -> GBPState:
     Mirrors LINEARISE_PROG's cs_relinearise (reference: ba/ba.cpp:890-893,
     gbp_codelets.cpp:20-172): runs once after beliefs are first set to priors.
     """
-    f_eta_c, f_eta_l, f_lam_cc, f_lam_cl, f_lam_ll, robust, mu = (
+    f_eta_c, f_eta_l, f_lam_cc, f_lam_cl, f_lam_ll, robust, mu, _ = (
         _linearise_planes(state, graph, cfg))
     return state._replace(
         f_eta_c=f_eta_c, f_eta_l=f_eta_l, f_lam_cc=f_lam_cc,
@@ -146,7 +147,7 @@ def relinearise_masked(
     (used by SLAM keyframe insertion — stale linearisation points would
     otherwise block the lazy relin trigger, whose dmu test needs
     quiescence)."""
-    f_eta_c, f_eta_l, f_lam_cc, f_lam_cl, f_lam_ll, robust, mu = (
+    f_eta_c, f_eta_l, f_lam_cc, f_lam_cl, f_lam_ll, robust, mu, z = (
         _linearise_planes(state, graph, cfg))
     # never adopt a linearisation at a non-finite mean (a weakly-constrained
     # adjacent belief can be numerically singular)
@@ -157,9 +158,6 @@ def relinearise_masked(
         # driver default) a linearisation at a behind-camera mean is refused
         # here exactly as the sweep would refuse it — insertion must not
         # adopt the wrong-signed factors the one-sided guard exists to block
-        mu_rows = pl.unpack_vec(mu, 9)
-        y_cf, _ = pl.w2c_apply(mu_rows[:6], mu_rows[6:])
-        z = y_cf[2]
         ok_depth = (jnp.abs(z) > cfg.min_depth if cfg.relin_behind_camera
                     else z > cfg.min_depth)
         mask = mask & ok_depth[0]
@@ -263,7 +261,7 @@ def edge_math(
     f_eta_c0, f_eta_l0, f_lam_cc0, f_lam_cl0, f_lam_ll0,
     msg_c_eta0, msg_c_lam0, msg_l_eta0, msg_l_lam0,
     damping0, damping_count0, mu0, lin_mu0, robust0, active_i,
-    k, cfg: GBPConfig, intr=None,
+    k, cfg: GBPConfig, intr=None, premu=None,
 ):
     """The complete per-edge GBP sweep body on plane arrays.
 
@@ -277,6 +275,17 @@ def edge_math(
     (damping, damping_count, robust) come back shaped (1, N) — callers
     squeeze. Everything stays 2-D so the same trace compiles both as an XLA
     fusion and inside the Pallas TPU kernel (Mosaic needs >=2-D layouts).
+
+    ``premu`` (optional, 10 planes: mu_c[6] | mu_l[3] | valid[1]) supplies
+    the adjacent-belief means pre-solved ONCE PER VARIABLE and gathered per
+    edge — the fused kernel rides them through its one-hot table gather,
+    whose MXU contraction already pays for 128 lanes while using 27/9, so
+    the extra columns are free and the per-edge 6x6 Cholesky solve + 3x3
+    inverse (~300 VPU ops/edge) drop out. Means of numerically singular
+    beliefs arrive zeroed with valid=0 (never adopted: the valid row takes
+    exactly the role of the per-edge isfinite guard — bit-identical
+    behaviour, the mean solve is the same elementwise computation whether
+    run per variable or per gathered edge copy).
     """
     def row(x):
         return x[None] if x.ndim == 1 else x
@@ -299,20 +308,31 @@ def edge_math(
                         cfg.eta_damping, damping0)
     damping_count = damping_count0 + active.astype(jnp.int32)
 
-    # adjacent-belief means per edge (in the fused kernel these 6x6/3x3
-    # solves are register-resident and effectively free; the cost is the
-    # belief gathers, already paid)
-    mu_c_rows = pl.solve_sym(pl.unpack_sym(bc_lam, 6),
-                             pl.unpack_vec(bc_eta, 6))
-    mu_l_rows = pl.matvec(pl.inv_sym3(pl.unpack_sym(bl_lam, 3)),
-                          pl.unpack_vec(bl_eta, 3))
-    mu_c = pl.pack_vec(mu_c_rows)
-    mu_l = pl.pack_vec(mu_l_rows)
+    # adjacent-belief means per edge: pre-solved per VARIABLE and gathered
+    # (premu — the fused kernel's table gather carries them for free), or
+    # solved per edge from the gathered beliefs (oracle / unfused paths;
+    # same elementwise computation, bit-identical results)
+    if premu is not None:
+        hp = premu.shape[0] // 10
+        mu_c = premu[:6 * hp]
+        mu_l = premu[6 * hp:9 * hp]
+        valid = premu[9 * hp:] > 0.5
+        mu_c_rows = pl.unpack_vec(mu_c, 6)
+        mu_l_rows = pl.unpack_vec(mu_l, 3)
+    else:
+        mu_c_rows = pl.solve_sym(pl.unpack_sym(bc_lam, 6),
+                                 pl.unpack_vec(bc_eta, 6))
+        mu_l_rows = pl.matvec(pl.inv_sym3(pl.unpack_sym(bl_lam, 3)),
+                              pl.unpack_vec(bl_eta, 3))
+        mu_c = pl.pack_vec(mu_c_rows)
+        mu_l = pl.pack_vec(mu_l_rows)
+        valid = None
 
     # relinearisation candidates at current belief means
     meas_u, meas_v = pl.unpack_vec(meas, 2)
     intr_rows = None if intr is None else pl.unpack_vec(intr, 3)
-    eta_c_n, eta_l_n, lam_cc_n, lam_cl_n, lam_ll_n, robust_new = pl.linearise(
+    (eta_c_n, eta_l_n, lam_cc_n, lam_cl_n, lam_ll_n, robust_new,
+     y_cf) = pl.linearise(
         mu_c_rows, mu_l_rows, k,
         meas_u, meas_v, meas_var, cfg.huber_nstds, intr_rows)
     pot_eta_c = pl.pack_vec(eta_c_n)
@@ -322,35 +342,43 @@ def edge_math(
     pot_lam_ll = pl.pack_sym(lam_ll_n, 3)
     mu = jnp.concatenate([mu_c, mu_l])
 
-    def _norm_rows(delta_packed, d):
+    def _sqnorm_rows(delta_packed, d):
+        # squared norm: the thresholds compare squared too, saving a VPU
+        # sqrt per edge per norm (monotone — same decisions up to the
+        # rounding of borderline lanes)
         rows = pl.unpack_vec(delta_packed, d)
         acc = rows[0] * rows[0]
         for r in rows[1:]:
             acc = acc + r * r
-        return jnp.sqrt(acc)
+        return acc
 
-    dmu = _norm_rows(mu - mu0, 9)
+    dmu2 = _sqnorm_rows(mu - mu0, 9)
     # a non-finite mean (belief turned indefinite upstream) must never be
-    # adopted as a linearisation point or stored state
-    mu_ok = jnp.isfinite(dmu)
+    # adopted as a linearisation point or stored state; with premu the
+    # per-variable valid flag carries exactly that condition
+    mu_ok = jnp.isfinite(dmu2)
+    if valid is not None:
+        mu_ok = valid & mu_ok
 
     if cfg.relin_every_iter:
         relin = active & mu_ok
     else:
         relin = (
             active & mu_ok
-            & (dmu < cfg.dmu_threshold)
+            & (dmu2 < cfg.dmu_threshold * cfg.dmu_threshold)
             & (damping_count > cfg.relin_count_threshold)
         )
         if cfg.relin_drift_threshold > 0.0:
             # Runaway-edge recapture: relinearise when the belief mean has
             # left the stored linearisation point (the reference only
             # relinearises on quiescence, which cannot catch edges that
-            # never settle).
-            drift = _norm_rows(mu - lin_mu0, 9)
+            # never settle). mu_ok keeps sanitised (premu) or NaN means
+            # from ever triggering the drift path.
+            drift2 = _sqnorm_rows(mu - lin_mu0, 9)
+            thr = cfg.relin_drift_threshold
             relin = relin | (
-                active
-                & (drift > cfg.relin_drift_threshold)
+                active & mu_ok
+                & (drift2 > thr * thr)
                 & (damping_count > cfg.relin_count_threshold)
             )
     if cfg.min_depth > 0.0:
@@ -362,8 +390,8 @@ def edge_math(
         # in front — the reference's behaviour, gbp_codelets.cpp:137-141).
         # A one-sided guard deadlocks: the stale potential pins the landmark
         # behind the camera and the edge's residual grows without bound.
-        mu_rows = pl.unpack_vec(mu, 9)
-        y_cf, _ = pl.w2c_apply(mu_rows[:6], mu_rows[6:])
+        # y_cf is reused from the linearisation (same means) instead of a
+        # second Rodrigues pass.
         if cfg.relin_behind_camera:
             relin = relin & (jnp.abs(y_cf[2]) > cfg.min_depth)
         else:
@@ -406,9 +434,9 @@ def edge_math(
         cfg.cavity_jitter)
     # per-edge PSD guard: an indefinite cavity means this edge's message is
     # not computable this sweep — hold the previous message instead of
-    # inverting garbage (the reference faults via FP traps here)
-    ok_ll = pl.sym3_posdef(cav_ll)
-    inv_ll = pl.inv_sym3(cav_ll)
+    # inverting garbage (the reference faults via FP traps here); the
+    # Sylvester test shares the adjugate's cofactors
+    inv_ll, ok_ll = pl.inv_sym3_posdef(cav_ll)
     w_cl = pl.matmul(f_cl, inv_ll)                            # 6x3
     eta_l_cav = pl.unpack_vec(f_eta_l + bl_eta - msg_l_eta0, 3)
     msg_c_eta = pl.pack_vec(pl.vsub(e_c, pl.matvec(w_cl, eta_l_cav)))
@@ -427,7 +455,12 @@ def edge_math(
     cav_cc = pl.add_rel_jitter(
         pl.unpack_sym(f_lam_cc + bc_lam - msg_c_lam0, 6),
         cfg.cavity_jitter)
-    l_cc, min_pivot = pl.cholesky_with_pivot(cav_cc)
+    # NOTE: the returned reciprocal diagonal is NOT used here — feeding the
+    # solves multiply-by-reciprocal instead of divide FMA-contracts
+    # differently in the oracle vs kernel compilations and breaks the
+    # bit-exact kernel==oracle parity the test suite pins (measured: 1-ulp
+    # divergence in msg_l_eta on CPU)
+    l_cc, min_pivot, _ = pl.cholesky_with_pivot(cav_cc)
     ok_cc = min_pivot > 0
     eta_c_cav = pl.unpack_vec(f_eta_c + bc_eta - msg_c_eta0, 6)
     y_sol = pl.chol_solve(l_cc, eta_c_cav)
@@ -588,9 +621,20 @@ def gbp_sweep(
 
 def _make_tables(
     state: GBPState, graph: GBPGraph, widths: tuple[int, int] = (128, 128),
+    premu: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Beliefs in the fused kernel's var-major lane-padded table layout
     ([rows, 128]; cols 0..26 = cam eta|packed Lambda, 0..8 for landmarks).
+
+    With ``premu`` the belief MEANS (solved once per variable — O(C+L)
+    small solves vs O(E) in edge_math) and a validity flag ride extra
+    columns: cam cols 27..32 = mu, 33 = valid; lmk cols 9..11 = mu,
+    12 = valid. The kernel's one-hot gather contraction pays for a full
+    128-lane MXU tile regardless of used columns, so gathering them per
+    edge is free and edge_math drops its per-edge 6x6 solve + 3x3
+    inverse. Means of singular beliefs are zeroed with valid=0 — a NaN
+    left in the table would poison every edge of any gather window
+    containing that variable (0 * NaN = NaN in the contraction).
 
     The 128-lane width is a HARD Mosaic requirement, not a tuning choice:
     narrower tables (32/16 lanes — which would save ~0.2 ms/sweep of
@@ -601,10 +645,21 @@ def _make_tables(
     c, l = graph.n_keyframes, graph.n_points
     cam_rows = _win_table_rows(graph.cam_win, c)
     lmk_rows = _win_table_rows(graph.lmk_win, l)
-    cam_tbl = jnp.pad(jnp.concatenate([state.cam_eta, state.cam_lam]).T,
-                      [(0, cam_rows - c), (0, widths[0] - 27)])
-    lmk_tbl = jnp.pad(jnp.concatenate([state.lmk_eta, state.lmk_lam]).T,
-                      [(0, lmk_rows - l), (0, widths[1] - 9)])
+    cam_cols = [state.cam_eta, state.cam_lam]
+    lmk_cols = [state.lmk_eta, state.lmk_lam]
+    used_c, used_l = 27, 9
+    if premu:
+        cam_mu, lmk_mu = _variable_means(state)
+        cam_ok = jnp.all(jnp.isfinite(cam_mu), axis=0, keepdims=True)
+        lmk_ok = jnp.all(jnp.isfinite(lmk_mu), axis=0, keepdims=True)
+        f = state.cam_eta.dtype
+        cam_cols += [jnp.where(cam_ok, cam_mu, 0.0), cam_ok.astype(f)]
+        lmk_cols += [jnp.where(lmk_ok, lmk_mu, 0.0), lmk_ok.astype(f)]
+        used_c, used_l = 34, 13
+    cam_tbl = jnp.pad(jnp.concatenate(cam_cols).T,
+                      [(0, cam_rows - c), (0, widths[0] - used_c)])
+    lmk_tbl = jnp.pad(jnp.concatenate(lmk_cols).T,
+                      [(0, lmk_rows - l), (0, widths[1] - used_l)])
     return cam_tbl, lmk_tbl
 
 
@@ -724,13 +779,13 @@ def _gbp_sweep_fused(
     from ..ops.sweep_kernel import sweep_fused_pallas
 
     c, l = graph.n_keyframes, graph.n_points
-    cam_tbl, lmk_tbl = _make_tables(state, graph)
+    cam_tbl, lmk_tbl = _make_tables(state, graph, premu=True)
 
     outs, cam_part, lmk_part = sweep_fused_pallas(
         _sweep_inputs(state, graph), cam_tbl, lmk_tbl,
         graph.cam_idx, graph.lmk_idx,
         graph.cam_win, graph.lmk_win, graph.k, cfg,
-        interpret=_interpret(cfg), intr=graph.intr)
+        interpret=_interpret(cfg), intr=graph.intr, premu=True)
     state = _apply_sweep_outputs(state, outs)
 
     cam_sum = combine_grid(cam_part, graph.cam_win, c)        # [27, C]
@@ -757,6 +812,11 @@ class Diagnostics(NamedTuple):
     cost: jax.Array         # 0.5 * sum ||r||^2
     n_relins: jax.Array     # edges that just relinearised
     n_robust: jax.Array     # edges with Huber active
+    # per-iteration camera belief means [6, C], filled only under the
+    # drivers' --v (the reference streams beliefs to the host and prints
+    # them every iteration, ba/ba.cpp:1030-1051; here they ride the scan
+    # outputs — None costs nothing, it is an empty pytree subtree)
+    cam_means: jax.Array | None = None
 
 
 def reprojection_error(
@@ -792,7 +852,7 @@ def reprojection_error(
 
 def diagnostics(
     state: GBPState, graph: GBPGraph, cfg: GBPConfig,
-    axis_name: str | None = None,
+    axis_name: str | None = None, with_cam_means: bool = False,
 ) -> Diagnostics:
     err, cost = reprojection_error(state, graph, axis_name)
     n_relins = jnp.sum(
@@ -801,7 +861,10 @@ def diagnostics(
     n_robust = jnp.sum((state.robust & (state.active > 0)).astype(jnp.int32))
     if axis_name is not None:
         n_relins, n_robust = jax.lax.psum((n_relins, n_robust), axis_name)
-    return Diagnostics(err, cost, n_relins, n_robust)
+    cam_means = None
+    if with_cam_means:
+        cam_means, _ = _variable_means(state)
+    return Diagnostics(err, cost, n_relins, n_robust, cam_means)
 
 
 # ---------------------------------------------------------------------------
@@ -1053,12 +1116,16 @@ def run_gbp(
     axis_name: str | None = None,
     lmk_sharded: bool = False,
     warm: int | None = None,
+    verbose_means: bool = False,
 ):
     """Run `n_iters` GBP iterations on device.
 
     Returns (final_state, Diagnostics stacked over iterations) — the per-iter
     telemetry the reference prints from the host each sweep
     (reference: ba/ba.cpp:1022-1028) without any per-iter host round-trip.
+    ``verbose_means`` additionally stacks the per-iteration camera belief
+    means into ``Diagnostics.cam_means`` (the drivers' --v; matches the
+    reference's per-iteration belief stream, ba/ba.cpp:1030-1051).
 
     With ``cfg.accel_every > 0`` the loop runs as chunks of that many sweeps
     with a fixed-point extrapolation step at each chunk boundary
@@ -1086,7 +1153,7 @@ def run_gbp(
                               lmk_sharded)
             else:
                 s = gbp_sweep(s, graph, cfg, axis_name, lmk_sharded)
-            out = (diagnostics(s, graph, cfg, axis_name)
+            out = (diagnostics(s, graph, cfg, axis_name, verbose_means)
                    if with_diagnostics else None)
             return s, out
         return body
@@ -1133,7 +1200,8 @@ def run_gbp(
                                                graph, cfg)
                 if with_diagnostics or collect_means:
                     st = _beliefs_from_tables(st, graph, ct, lt)
-                out = (diagnostics(st, graph, cfg, axis_name)
+                out = (diagnostics(st, graph, cfg, axis_name,
+                                   verbose_means)
                        if with_diagnostics else None)
                 if collect_means:
                     ac, al = accum(ac, al, st)
@@ -1146,7 +1214,8 @@ def run_gbp(
             def body(carry, _):
                 st, ac, al = carry
                 st = gbp_sweep(st, graph, cfg, axis_name, lmk_sharded)
-                out = (diagnostics(st, graph, cfg, axis_name)
+                out = (diagnostics(st, graph, cfg, axis_name,
+                                   verbose_means)
                        if with_diagnostics else None)
                 if collect_means:
                     ac, al = accum(ac, al, st)

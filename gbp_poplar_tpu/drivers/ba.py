@@ -97,7 +97,7 @@ def main(argv=None) -> int:
               "pinhole model", file=sys.stderr)
         return 2
 
-    solver = _make_solver(graph, cfg, args.devices)
+    solver = _make_solver(graph, cfg, args.devices, verbose=args.v)
     state = solver.prep(state)
     # the graph the solver actually runs (prepared/padded when sharded);
     # refit + relinearise below are plain jitted functions over it — under
@@ -146,15 +146,23 @@ def main(argv=None) -> int:
         robusts = np.asarray(diag.n_robust)
         if t_first_chunk is None:
             t_first_chunk = time.perf_counter()   # compile happened here
+        v_means = (np.asarray(diag.cam_means)
+                   if args.v and diag.cam_means is not None else None)
         for j in range(n):
             common.print_iteration(i + j, errs[j], costs[j],
                                    int(relins[j]), int(robusts[j]))
+            if v_means is not None:
+                # per-iteration belief stream, from the scan outputs
+                # (reference --v prints every iteration from streamed
+                # beliefs, ba/ba.cpp:1030-1051)
+                np.set_printoptions(precision=5, suppress=True)
+                print(f"beliefs (cam means) at iter {i + j}:\n"
+                      f"{v_means[j].T}", flush=True)
         i += n
-        if args.v:
-            # verbose belief stream (reference --v prints every iteration,
-            # ba/ba.cpp:1030-1051; the on-device chunked loop surfaces the
-            # means at chunk cadence instead — use --print_every 1 for the
-            # finest granularity)
+        if args.v and v_means is None:
+            # sharded runs surface the means at chunk cadence (a per-iter
+            # [6, C] stream across chips is pure host traffic; the scalar
+            # telemetry stays per-iteration)
             v_cam, _ = analysis.belief_means(state)
             np.set_printoptions(precision=5, suppress=True)
             print(f"beliefs (cam means) at iter {i}:\n{v_cam}", flush=True)
@@ -262,24 +270,27 @@ def main(argv=None) -> int:
 
 
 class _SingleChip:
-    def __init__(self, graph, cfg):
+    def __init__(self, graph, cfg, verbose: bool = False):
         import jax
         from functools import partial
         self._graph = graph
         self._cfg_steps = cfg.steps
         self.initialise = jax.jit(lambda s: gbp.initialise(s, graph, cfg))
         # n and warm static (program structure), offset traced (only feeds
-        # the accel_start comparison — no recompile per chunk position)
+        # the accel_start comparison — no recompile per chunk position).
+        # verbose stacks per-iteration cam means into the diagnostics
+        # (--v; the reference's per-iteration belief stream)
         self._run = partial(jax.jit, static_argnums=(1, 3))(
             lambda s, n, off, warm: gbp.run_gbp(
-                s, graph, cfg, n, iter_offset=off, warm=warm))
+                s, graph, cfg, n, iter_offset=off, warm=warm,
+                verbose_means=verbose))
         # variant with the Snavely intrinsics as a TRACED operand so the
         # driver's block-coordinate refit (--refine_intrinsics) swaps them
         # between chunks without recompiling
         self._run_intr = partial(jax.jit, static_argnums=(1, 3))(
             lambda s, n, off, warm, it: gbp.run_gbp(
                 s, graph._replace(intr=it), cfg, n, iter_offset=off,
-                warm=warm))
+                warm=warm, verbose_means=verbose))
 
     def prep(self, state):
         return state
@@ -374,9 +385,10 @@ def _polish_problem(problem, cfg: GBPConfig):
     return graph1, pri
 
 
-def _make_solver(graph, cfg: GBPConfig, n_devices: int):
+def _make_solver(graph, cfg: GBPConfig, n_devices: int,
+                 verbose: bool = False):
     if n_devices <= 1:
-        return _SingleChip(graph, cfg)
+        return _SingleChip(graph, cfg, verbose)
     return _Sharded(graph, cfg, n_devices)
 
 

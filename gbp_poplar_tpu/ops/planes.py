@@ -218,20 +218,30 @@ def add_rel_jitter(m: list[list[jax.Array]], rel_eps: float):
 def cholesky(m: list[list[jax.Array]]):
     """Lower-triangular Cholesky factor, unrolled (cf. the reference's LDL^T,
     ba/matlib.cpp:180-222)."""
-    l, _ = cholesky_with_pivot(m)
+    l, _, _ = cholesky_with_pivot(m)
     return l
 
 
 def cholesky_with_pivot(m: list[list[jax.Array]]):
-    """Cholesky factor plus the minimum pivot (pre-sqrt) per element.
+    """Cholesky factor, the minimum pivot (pre-sqrt), and the reciprocal
+    diagonal of L.
 
     The pivots are the Sylvester minors' ratios: min_pivot > 0 iff the
     matrix is positive definite — the per-edge PSD check that lets the
     solver hold back a message instead of inverting an indefinite cavity
     (the reference faults on these via hardware FP traps, ba/ba.cpp:888).
+
+    ``inv_diag`` (1/L[j][j], already computed for the sub-diagonal scaling)
+    is returned so callers CAN multiply instead of divide in solves.
+    CAUTION: the sweep's shared edge_math deliberately does not — a
+    multiply-by-reciprocal feeding an add chain is FMA-contracted
+    differently by the oracle and Pallas-kernel compilations and breaks
+    their bit-exact parity (measured 1-ulp divergence on CPU); use it only
+    where cross-program exactness is not pinned.
     """
     d = len(m)
     l = [[None] * d for _ in range(d)]
+    inv_diag = [None] * d
     min_pivot = None
     for j in range(d):
         s = m[j][j]
@@ -243,12 +253,13 @@ def cholesky_with_pivot(m: list[list[jax.Array]]):
         diag = jnp.sqrt(jnp.maximum(s, 1e-30))
         l[j][j] = diag
         inv_d = 1.0 / diag
+        inv_diag[j] = inv_d
         for i in range(j + 1, d):
             v = m[i][j]
             for k in range(j):
                 v = v - l[i][k] * l[j][k]
             l[i][j] = v * inv_d
-    return l, min_pivot
+    return l, min_pivot, inv_diag
 
 
 def sym3_posdef(m: list[list[jax.Array]]) -> jax.Array:
@@ -262,33 +273,60 @@ def sym3_posdef(m: list[list[jax.Array]]) -> jax.Array:
     return (m00 > 0) & (det2 > 0) & (det3 > 0)
 
 
-def chol_solve(l: list[list[jax.Array]], rhs: list[jax.Array]) -> list[jax.Array]:
-    """Solve (L L^T) x = b given the Cholesky factor."""
+def chol_solve(l: list[list[jax.Array]], rhs: list[jax.Array],
+               inv_diag: list[jax.Array] | None = None) -> list[jax.Array]:
+    """Solve (L L^T) x = b given the Cholesky factor.
+
+    With ``inv_diag`` (from :func:`cholesky_with_pivot`) the 2d per-RHS
+    divides become multiplies."""
     d = len(l)
+
+    def scale(s, i):
+        # true divide when no reciprocals are given: a multiply-by-
+        # reciprocal feeding an add chain FMA-contracts differently in the
+        # oracle vs kernel compilations and breaks bit-exact parity
+        return s * inv_diag[i] if inv_diag is not None else s / l[i][i]
+
     # forward: L y = b
     y = [None] * d
     for i in range(d):
         s = rhs[i]
         for k in range(i):
             s = s - l[i][k] * y[k]
-        y[i] = s / l[i][i]
+        y[i] = scale(s, i)
     # backward: L^T x = y
     x = [None] * d
     for i in range(d - 1, -1, -1):
         s = y[i]
         for k in range(i + 1, d):
             s = s - l[k][i] * x[k]
-        x[i] = s / l[i][i]
+        x[i] = scale(s, i)
     return x
 
 
 def solve_sym(m: list[list[jax.Array]], rhs: list[jax.Array]) -> list[jax.Array]:
+    # plain divides, NOT the inv_diag fast path: solve_sym runs in both the
+    # XLA oracle and the Pallas kernel programs, and a multiply-by-
+    # reciprocal feeding an add chain is FMA-contracted differently by the
+    # two compilations — it breaks the bit-exact kernel==oracle parity the
+    # test suite pins (divides are not FMA-fusable, so they stay exact)
     return chol_solve(cholesky(m), rhs)
 
 
 def inv_sym3(m: list[list[jax.Array]]) -> list[list[jax.Array]]:
     """Closed-form adjugate inverse of symmetric 3x3 (ba/matlib.cpp:143-161
     vectorised; symmetry halves the cofactor work)."""
+    inv, _ = inv_sym3_posdef(m)
+    return inv
+
+
+def inv_sym3_posdef(m: list[list[jax.Array]]):
+    """(inverse, positive-definite mask) of symmetric 3x3 in one pass.
+
+    The Sylvester test reuses the adjugate's intermediates: the (2,2)
+    cofactor IS the leading 2x2 minor and the determinant IS the third —
+    fusing it with the inverse saves recomputing both (vs a separate
+    :func:`sym3_posdef`)."""
     a, b, c = m[0][0], m[0][1], m[0][2]
     d, e = m[1][1], m[1][2]
     f = m[2][2]
@@ -299,12 +337,13 @@ def inv_sym3(m: list[list[jax.Array]]) -> list[list[jax.Array]]:
     c12 = b * c - a * e
     c22 = a * d - b * b
     det = a * c00 + b * c01 + c * c02
+    ok = (a > 0) & (c22 > 0) & (det > 0)
     inv_det = 1.0 / det
     return [
         [c00 * inv_det, c01 * inv_det, c02 * inv_det],
         [c01 * inv_det, c11 * inv_det, c12 * inv_det],
         [c02 * inv_det, c12 * inv_det, c22 * inv_det],
-    ]
+    ], ok
 
 
 def inv_sym_from_chol(l: list[list[jax.Array]]) -> list[list[jax.Array]]:
@@ -413,11 +452,13 @@ def linearise(
     """Fused reprojection-factor relinearisation in planes.
 
     Returns (eta_c[6], eta_l[3], lam_cc mat6, lam_cl mat6x3, lam_ll mat3,
-    robust [E]) — the body of RelineariseFactorVertex
+    robust [E], y_cf vec3) — the body of RelineariseFactorVertex
     (ba/gbp_codelets.cpp:38-171) batched over all edges. With ``intr``
     the measurement head is the Snavely/BAL model (see :func:`project`);
     everything from j_proj down (pose/landmark chain rule, Huber,
-    potential assembly) is model-independent.
+    potential assembly) is model-independent. ``y_cf`` (the landmark in
+    the camera frame) is returned so callers' depth guards reuse it
+    instead of re-running Rodrigues (~80 VPU ops + sin/cos/sqrt per edge).
     """
     (u, v), y_cf, r = project(cam, lmk, k, intr)
     inv_z = 1.0 / y_cf[2]
@@ -511,4 +552,4 @@ def linearise(
             lam_ll[j][i] = val
     lam_cl = [[(j_kf[0][i] * j_lmk[0][j] + j_kf[1][i] * j_lmk[1][j]) * inv_var
                for j in range(3)] for i in range(6)]
-    return eta_c, eta_l, lam_cc, lam_cl, lam_ll, robust
+    return eta_c, eta_l, lam_cc, lam_cl, lam_ll, robust, y_cf

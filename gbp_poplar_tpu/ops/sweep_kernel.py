@@ -261,7 +261,7 @@ def _dot3(v, oh, dims, oh_first=False, single_pass=False):
 
 
 def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
-                  interp: bool, has_intr: bool,
+                  interp: bool, has_intr: bool, premu: bool,
                   cam_base_ref, lmk_base_ref,
                   k_ref, cam_idx_ref, lmk_idx_ref, cam_tbl_ref, lmk_tbl_ref,
                   *refs):
@@ -274,15 +274,33 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
     l0 = lmk_base_ref[i]
     be = cam_idx_ref.shape[-1]
 
-    def inner(cwin, lwin, sem_c, sem_l):
-        dma_c = pltpu.make_async_copy(
-            cam_tbl_ref.at[plx.ds(c0, wc), :], cwin, sem_c)
-        dma_l = pltpu.make_async_copy(
-            lmk_tbl_ref.at[plx.ds(l0, wl), :], lwin, sem_l)
-        dma_c.start()
-        dma_l.start()
-        dma_c.wait()
-        dma_l.wait()
+    # window-DMA reuse: scratch persists across grid steps and the belief
+    # tables are constant within a sweep, so a block whose window base
+    # matches the previous block's reuses the already-resident window
+    # instead of re-fetching it. Consecutive blocks share bases by
+    # construction (landmark-sorted edge order): ladybug re-fetches the
+    # cam window 14x instead of 1067x (~130 KB each), fr1xyz 1x vs 13x.
+    prev = jnp.maximum(i - 1, 0)
+    first_c = (i == 0) | (cam_base_ref[i] != cam_base_ref[prev])
+    first_l = (i == 0) | (lmk_base_ref[i] != lmk_base_ref[prev])
+    scr = refs[len(refs) - 4:]
+    cwin, lwin, sem_c, sem_l = scr
+    refs = refs[:len(refs) - 4]
+
+    def inner():
+        @plx.when(first_c)
+        def _():
+            dma_c = pltpu.make_async_copy(
+                cam_tbl_ref.at[plx.ds(c0, wc), :], cwin, sem_c)
+            dma_c.start()
+            dma_c.wait()
+
+        @plx.when(first_l)
+        def _():
+            dma_l = pltpu.make_async_copy(
+                lmk_tbl_ref.at[plx.ds(l0, wl), :], lwin, sem_l)
+            dma_l.start()
+            dma_l.wait()
 
         oh_c = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (wc, be), 0) + c0
@@ -295,14 +313,28 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
         # keeps the value f32-exact at half of HIGHEST's MXU passes). The
         # tables may be narrow (32/16 lanes, plane-form hot loop) or
         # 128-wide (table-carried mode) — cap the contraction at 32 lanes.
-        cw = cwin[...] if cwin.shape[-1] <= 32 else cwin[:, :32]
-        lw = lwin[...] if lwin.shape[-1] <= 32 else lwin[:, :32]
-        bc = dot3(cw, oh_c, (((0,), (0,)), ((), ())))[:27]
-        bl = dot3(lw, oh_l, (((0,), (0,)), ((), ())))[:9]
+        # With premu the tables carry pre-solved belief means + a validity
+        # flag (cam cols 27..33, lmk 9..12 — see core.gbp._make_tables);
+        # widening the contraction is free (the stacked-limb dot still
+        # fits one 128-row MXU tile: 3*34 <= 128) and edge_math then skips
+        # its per-edge mean solves.
+        ncc = 34 if premu else 32
+        ncl = 13 if premu else 32
+        cw = cwin[...] if cwin.shape[-1] <= ncc else cwin[:, :ncc]
+        lw = lwin[...] if lwin.shape[-1] <= ncl else lwin[:, :ncl]
+        gc = dot3(cw, oh_c, (((0,), (0,)), ((), ())))
+        gl = dot3(lw, oh_l, (((0,), (0,)), ((), ())))
+        bc, bl = gc[:27], gl[:9]
 
         def brick(x):
             comp, n = x.shape
             return x.reshape(comp * sub, n // sub)
+
+        pm = None
+        if premu:
+            # mu_c[6] | mu_l[3] | valid[1] (both endpoints valid)
+            pm = brick(jnp.concatenate(
+                [gc[27:33], gl[9:12], gc[33:34] * gl[12:13]]))
 
         vals = [brick(bc), brick(bl)]
         for r in refs[:n_in]:
@@ -311,7 +343,7 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
         # aliasing indices are model-independent
         intr = brick(refs[n_in][...]) if has_intr else None
         o0 = n_in + int(has_intr)
-        outs = edge_math(*vals, k_ref, cfg, intr=intr)
+        outs = edge_math(*vals, k_ref, cfg, intr=intr, premu=pm)
         flat = []
         for r, o in zip(refs[o0:o0 + len(outs)], outs):
             o2 = o.reshape(r.shape[0], -1)
@@ -325,9 +357,6 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
         msg_cam = jnp.concatenate([flat[5], flat[6]])          # [27, BE]
         msg_lmk = jnp.concatenate([flat[7], flat[8]])          # [9, BE]
         cam_part_ref, lmk_part_ref = refs[o0 + len(outs):]
-        prev = jnp.maximum(i - 1, 0)
-        first_c = (i == 0) | (cam_base_ref[i] != cam_base_ref[prev])
-        first_l = (i == 0) | (lmk_base_ref[i] != lmk_base_ref[prev])
 
         @plx.when(first_c)
         def _():
@@ -360,13 +389,7 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
             lmk_part_ref[...] += dot3(
                 msg_lmk, oh_l, (((1,), (1,)), ((), ())))[None]
 
-    plx.run_scoped(
-        inner,
-        cwin=pltpu.VMEM((wc, cam_tbl_ref.shape[-1]), jnp.float32),
-        lwin=pltpu.VMEM((wl, lmk_tbl_ref.shape[-1]), jnp.float32),
-        sem_c=pltpu.SemaphoreType.DMA(()),
-        sem_l=pltpu.SemaphoreType.DMA(()),
-    )
+    inner()
 
 
 def sweep_fused_pallas(
@@ -374,10 +397,12 @@ def sweep_fused_pallas(
     cam_idx: jax.Array, lmk_idx: jax.Array,
     cam_win, lmk_win, k: jax.Array, cfg: GBPConfig,
     interpret: bool = False, var_major: bool = False,
-    intr: jax.Array | None = None,
+    intr: jax.Array | None = None, premu: bool = False,
 ):
     """Fused sweep. ``inputs`` = EDGE_MATH_INPUTS WITHOUT bc/bl; the belief
-    tables are var-major lane-padded ([rows, 128], cols 0..26 / 0..8 used).
+    tables are var-major lane-padded ([rows, 128], cols 0..26 / 0..8 used;
+    with ``premu`` the per-variable means + validity ride cols 27..33 /
+    9..12 and are gathered per edge for free — core.gbp._make_tables).
     Returns (EDGE_MATH_OUTPUTS tuple, cam_grid [NC_c, 27, Wc],
     lmk_grid [NC_l, 9, Wl]) — cell-keyed window accumulations; merge with
     reduce_kernel.combine_grid. With ``var_major`` the grids come back
@@ -444,6 +469,14 @@ def sweep_fused_pallas(
                       plx.BlockSpec((1,) + out_shapes[-1].shape[1:],
                                     lambda i, cb, lb: (lb[i] // 128, 0, 0),
                                     memory_space=pltpu.VMEM)]),
+        # window buffers as SCRATCH (persists across grid steps) so blocks
+        # sharing a window base skip the re-fetch (see _fused_kernel)
+        scratch_shapes=[
+            pltpu.VMEM((cam_win.w, cam_tbl.shape[-1]), jnp.float32),
+            pltpu.VMEM((lmk_win.w, lmk_tbl.shape[-1]), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
     )
 
     n_planes = sum(x.shape[0] for x in prepped) + sum(
@@ -456,7 +489,8 @@ def sweep_fused_pallas(
 
     outs = plx.pallas_call(
         functools.partial(_fused_kernel, cfg, sub, cam_win.w, lmk_win.w,
-                          var_major, bool(interpret), intr is not None),
+                          var_major, bool(interpret), intr is not None,
+                          bool(premu)),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         cost_estimate=cost,

@@ -99,6 +99,22 @@ def test_ba_cli_polish(tiny_bal, tmp_path):
     assert "polish:" not in r2.stderr
 
 
+def test_ba_cli_verbose_streams_beliefs_every_iteration(tiny_bal):
+    """--v prints the camera belief means at EVERY iteration (the
+    reference streams beliefs to the host and prints them each sweep,
+    ba/ba.cpp:1030-1051; here they ride the scan outputs)."""
+    r = _run("gbp_poplar_tpu.drivers.ba",
+             "--bal_file", tiny_bal, "--n_iters", "12",
+             "--print_every", "6", "--no_polish", "--v")
+    assert r.returncode == 0, r.stderr[-2000:]
+    dumps = [ln for ln in r.stdout.splitlines()
+             if ln.startswith("beliefs (cam means) at iter")]
+    assert len(dumps) == 12, r.stdout[-2000:]
+    # and the final iteration's means are real numbers
+    seg = r.stdout.split("beliefs (cam means) at iter 11:")[1]
+    assert "nan" not in seg.lower() and "inf" not in seg.lower()
+
+
 def test_slam_cli_resume(tiny_bal, tmp_path):
     ckpt = str(tmp_path / "s.npz")
     traj1 = str(tmp_path / "t1.txt")

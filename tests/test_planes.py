@@ -104,7 +104,7 @@ def test_linearise_matches_dense_projection(rng_):
     pot, robust_d = projection.linearise_factor(
         jnp.asarray(cam), jnp.asarray(lmk), k, jnp.asarray(meas), var, 2.5)
 
-    eta_c, eta_l, lam_cc, lam_cl, lam_ll, robust_p = pl.linearise(
+    eta_c, eta_l, lam_cc, lam_cl, lam_ll, robust_p, _ = pl.linearise(
         pl.unpack_vec(jnp.asarray(cam.T), 6),
         pl.unpack_vec(jnp.asarray(lmk.T), 3),
         k, jnp.asarray(meas[:, 0])[None], jnp.asarray(meas[:, 1])[None],

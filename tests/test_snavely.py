@@ -73,7 +73,7 @@ def test_snavely_planes_linearise_matches_dense():
     np.testing.assert_allclose(np.stack([u, v], 1),
                                pj.project(cam, lmk, k, intr), rtol=1e-5)
 
-    eta_c, eta_l, lcc, lcl, lll, rob = pl.linearise(
+    eta_c, eta_l, lcc, lcl, lll, rob, _ = pl.linearise(
         camp, lmkp, k, meas[:, 0], meas[:, 1], mv, 2.5, intp)
     pot, rob_d = pj.linearise_factor(cam, lmk, k, meas, mv, 2.5, intr)
     np.testing.assert_allclose(np.stack(eta_c, 1), pot.eta_c,
