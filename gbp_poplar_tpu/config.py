@@ -162,6 +162,18 @@ class GBPConfig:
     # whenever the graph has per-block variable windows (build_graph);
     # False forces the unfused gather/kernel/reduce pipeline.
     pallas_fused: bool | str = "auto"
+    # Carry the per-edge state through anneal-free hot sweeps as ONE
+    # packed [109, E] f32 array (+ i32 counter + u8 robust) instead of 14
+    # separate arrays (core/gbp.EDGE_PACK_FIELDS). In the PRODUCTION
+    # chunked scan (run_gbp with the accelerator's per-sweep mean
+    # accumulation) XLA fails to thread the kernel's in-place aliasing
+    # through the multi-array scan carry and copies all 14 arrays every
+    # sweep — ~0.44 GB/sweep at 1.09M edges. Measured on v5e: the packed
+    # carry takes the production solve from 5.64 to 3.99 ms/sweep at
+    # Ladybug scale (raw kernel chain: 3.64) and is neutral at TUM scale.
+    # Pack/unpack runs at hot-scan (chunk) cadence, never per sweep;
+    # bit-exact vs the plain carry (tests/test_sweep_kernel.py).
+    pallas_packed_carry: bool = True
     # Carry beliefs through anneal-free sweeps as var-major TABLES (the
     # kernel's DMA layout) with a var-major reduction epilogue, instead of
     # plane arrays. Collapses the per-sweep XLA op count 53 -> 27, but

@@ -255,6 +255,53 @@ EDGE_MATH_OUTPUTS = (
     "damping", "damping_count", "mu", "lin_mu", "robust",
 )
 
+# Packed edge-state carry for the fused hot scan. The Pallas pipeline
+# costs ~3.7 ns PER PIPELINED OPERAND PER GRID STEP (probe-measured on
+# v5e: 110 separate [1, E] operands vs one [110, E] operand, identical
+# bytes — 807 ns/step difference); the fused sweep kernel moves ~220
+# per-block operand copies per step, i.e. ~0.8 µs/step of pure
+# orchestration (~31% of the kernel at 1.09M edges, ~25% at TUM scale).
+# Carrying the 12 f32 edge-state fields as ONE [109, E] array (+ the i32
+# damping counter and u8 robust flag separately) cuts the per-step
+# operand count from ~223 to ~12. Rows follow EDGE_MATH_OUTPUTS order so
+# the kernel's output writes are three contiguous row-slice stores.
+EDGE_PACK_FIELDS = (
+    ("f_eta_c", 6), ("f_eta_l", 3), ("f_lam_cc", 21), ("f_lam_cl", 18),
+    ("f_lam_ll", 6), ("msg_c_eta", 6), ("msg_c_lam", 21),
+    ("msg_l_eta", 3), ("msg_l_lam", 6), ("damping", 1),
+    ("mu", 9), ("lin_mu", 9),
+)
+EDGE_PACK_ROWS = sum(n for _, n in EDGE_PACK_FIELDS)          # 109
+
+
+def edge_pack_offsets() -> dict:
+    """field -> (row_start, row_end) in the packed edge-state array."""
+    out, o = {}, 0
+    for name, n in EDGE_PACK_FIELDS:
+        out[name] = (o, o + n)
+        o += n
+    return out
+
+
+def pack_edge_state(state: GBPState):
+    """(packed [109, E] f32, damping_count [E] i32, robust [E] bool)."""
+    rows = []
+    for name, n in EDGE_PACK_FIELDS:
+        x = getattr(state, name)
+        rows.append(x[None] if x.ndim == 1 else x)
+    return jnp.concatenate(rows), state.damping_count, state.robust
+
+
+def unpack_edge_state(state: GBPState, packed, damping_count,
+                      robust) -> GBPState:
+    """Fold a packed edge-state carry back into the plain state pytree."""
+    upd, o = {}, 0
+    for name, n in EDGE_PACK_FIELDS:
+        x = packed[o:o + n]
+        upd[name] = x[0] if getattr(state, name).ndim == 1 else x
+        o += n
+    return state._replace(damping_count=damping_count, robust=robust, **upd)
+
 
 def edge_math(
     bc, bl, meas, meas_var,
@@ -802,6 +849,43 @@ def _gbp_sweep_fused(
         lmk_lam=state.lmk_prior_lam + lmk_sum[3:])
 
 
+def _gbp_sweep_fused_packed(
+    state: GBPState, pk: jax.Array, dc: jax.Array, rb: jax.Array,
+    const_pack: jax.Array, graph: GBPGraph, cfg: GBPConfig,
+    axis_name: str | None, lmk_sharded: bool,
+):
+    """One fused sweep on the PACKED edge-state carry (EDGE_PACK_FIELDS):
+    identical math to :func:`_gbp_sweep_fused` — the kernel slices the
+    packed rows into the same plane views — but the pallas pipeline moves
+    ~12 per-step operand copies instead of ~223 (~0.8 µs/step of
+    orchestration, probe-measured). ``state``'s edge fields are STALE
+    while the packed carry is live; beliefs/priors/flags stay current.
+    Returns (state-with-new-beliefs, pk, dc, rb)."""
+    from ..ops.reduce_kernel import combine_grid
+    from ..ops.sweep_kernel import sweep_fused_packed
+
+    c, l = graph.n_keyframes, graph.n_points
+    cam_tbl, lmk_tbl = _make_tables(state, graph, premu=True)
+    pk, dc, rb, cam_part, lmk_part = sweep_fused_packed(
+        pk, dc, rb, state.active, const_pack, cam_tbl, lmk_tbl,
+        graph.cam_idx, graph.lmk_idx, graph.cam_win, graph.lmk_win,
+        graph.k, cfg, interpret=_interpret(cfg),
+        has_intr=graph.intr is not None)
+    cam_sum = combine_grid(cam_part, graph.cam_win, c)
+    lmk_sum = combine_grid(lmk_part, graph.lmk_win, l)
+    if axis_name is not None:
+        if lmk_sharded:
+            cam_sum = jax.lax.psum(cam_sum, axis_name)
+        else:
+            cam_sum, lmk_sum = jax.lax.psum((cam_sum, lmk_sum), axis_name)
+    state = state._replace(
+        cam_eta=state.cam_prior_eta + cam_sum[:6],
+        cam_lam=state.cam_prior_lam + cam_sum[6:],
+        lmk_eta=state.lmk_prior_eta + lmk_sum[:3],
+        lmk_lam=state.lmk_prior_lam + lmk_sum[3:])
+    return state, pk, dc, rb
+
+
 # ---------------------------------------------------------------------------
 # diagnostics (device-side replacement for the host TBB eval,
 # reference: ba/util.cpp:74-144)
@@ -1176,6 +1260,22 @@ def run_gbp(
     table_mode = _table_carry_ok(graph, cfg, axis_name)
     if table_mode:
         prior_tbls = _prior_tables(state, graph)
+    # Packed edge-state carry (see EDGE_PACK_FIELDS): the hot scan's fused
+    # kernel takes ONE wide f32 state operand instead of ~14, cutting the
+    # per-grid-step pipeline orchestration (~3.7 ns per operand copy per
+    # step). Pack/unpack runs once per hot_scan call (chunk cadence), not
+    # per sweep.
+    packed_mode = (
+        not table_mode
+        and _use_pallas(cfg)
+        and graph.cam_win is not None
+        and (cfg.pallas_fused is True or cfg.pallas_fused == "auto")
+        and cfg.pallas_packed_carry)
+    if packed_mode:
+        const_rows = [graph.meas, graph.meas_var[None]]
+        if graph.intr is not None:
+            const_rows.append(graph.intr)
+        const_pack = jnp.concatenate(const_rows)
 
     def hot_scan(s, n, collect_means):
         """``n`` anneal-free sweeps. Returns (state, diag, chunk-summed
@@ -1190,6 +1290,30 @@ def run_gbp(
             ac = ac + jnp.nan_to_num(mc, nan=0.0, posinf=0.0, neginf=0.0)
             al = al + jnp.nan_to_num(ml, nan=0.0, posinf=0.0, neginf=0.0)
             return ac, al
+
+        if packed_mode:
+            pk0, dc0, rb0 = pack_edge_state(s)
+
+            def body(carry, _):
+                st, pk, dc, rb, ac, al = carry
+                st, pk, dc, rb = _gbp_sweep_fused_packed(
+                    st, pk, dc, rb, const_pack, graph, cfg,
+                    axis_name, lmk_sharded)
+                if with_diagnostics or collect_means:
+                    # edge fields in st are stale inside the packed scan;
+                    # diagnostics only needs the live counters/flags
+                    view = st._replace(damping_count=dc, robust=rb)
+                out = (diagnostics(view, graph, cfg, axis_name,
+                                   verbose_means)
+                       if with_diagnostics else None)
+                if collect_means:
+                    ac, al = accum(ac, al, st)
+                return (st, pk, dc, rb, ac, al), out
+
+            (s, pk, dc, rb, ac, al), diag = jax.lax.scan(
+                body, (s, pk0, dc0, rb0, *zero_means), None, length=n)
+            s = unpack_edge_state(s, pk, dc, rb)
+            return s, diag, ((ac, al) if collect_means else None)
 
         if table_mode:
             tbls = _make_tables(s, graph, widths=(128, 128))

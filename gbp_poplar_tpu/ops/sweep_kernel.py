@@ -261,7 +261,7 @@ def _dot3(v, oh, dims, oh_first=False, single_pass=False):
 
 
 def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
-                  interp: bool, has_intr: bool, premu: bool,
+                  interp: bool, has_intr: bool, premu: bool, packed: bool,
                   cam_base_ref, lmk_base_ref,
                   k_ref, cam_idx_ref, lmk_idx_ref, cam_tbl_ref, lmk_tbl_ref,
                   *refs):
@@ -336,19 +336,51 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
             pm = brick(jnp.concatenate(
                 [gc[27:33], gl[9:12], gc[33:34] * gl[12:13]]))
 
-        vals = [brick(bc), brick(bl)]
-        for r in refs[:n_in]:
-            vals.append(brick(r[...]))
-        # optional Snavely intrinsics: trailing input so the state-operand
-        # aliasing indices are model-independent
-        intr = brick(refs[n_in][...]) if has_intr else None
-        o0 = n_in + int(has_intr)
-        outs = edge_math(*vals, k_ref, cfg, intr=intr, premu=pm)
-        flat = []
-        for r, o in zip(refs[o0:o0 + len(outs)], outs):
-            o2 = o.reshape(r.shape[0], -1)
-            r[...] = o2.astype(r.dtype)
-            flat.append(o2)
+        if packed:
+            # packed edge-state carry (core.gbp.EDGE_PACK_FIELDS): ONE
+            # wide f32 operand + the i32 counter + the u8 robust flag —
+            # same plane views, ~12 per-step pipeline copies instead of
+            # ~223 (~3.7 ns each, probe-measured)
+            const_ref, pk_ref, dc_ref, rb_ref, act_ref = refs[:5]
+            cpk = const_ref[...]
+            spk = pk_ref[...]
+            vals = [brick(bc), brick(bl),
+                    brick(cpk[0:2]), brick(cpk[2:3]),        # meas, var
+                    brick(spk[0:6]), brick(spk[6:9]),        # f_eta_c/l
+                    brick(spk[9:30]), brick(spk[30:48]),     # f_lam_cc/cl
+                    brick(spk[48:54]),                       # f_lam_ll
+                    brick(spk[54:60]), brick(spk[60:81]),    # msg_c eta/lam
+                    brick(spk[81:84]), brick(spk[84:90]),    # msg_l eta/lam
+                    brick(spk[90:91]),                       # damping
+                    brick(dc_ref[...]),                      # damping_count
+                    brick(spk[91:100]), brick(spk[100:109]),  # mu, lin_mu
+                    brick(rb_ref[...]), brick(act_ref[...])]
+            intr = brick(cpk[3:6]) if has_intr else None
+            outs = edge_math(*vals, k_ref, cfg, intr=intr, premu=pm)
+            opk_ref, odc_ref, orb_ref = refs[5:8]
+            flat = [o.reshape(-1, be) for o in outs]
+            # EDGE_MATH_OUTPUTS rows 0..9 (f_*, msg_*, damping) are the
+            # first 91 packed rows, in order; then mu, lin_mu
+            opk_ref[...] = jnp.concatenate(
+                flat[:10] + flat[11:13]).astype(opk_ref.dtype)
+            odc_ref[...] = flat[10].astype(odc_ref.dtype)
+            orb_ref[...] = flat[13].astype(orb_ref.dtype)
+            cam_part_ref, lmk_part_ref = refs[8:10]
+        else:
+            vals = [brick(bc), brick(bl)]
+            for r in refs[:n_in]:
+                vals.append(brick(r[...]))
+            # optional Snavely intrinsics: trailing input so the
+            # state-operand aliasing indices are model-independent
+            intr = brick(refs[n_in][...]) if has_intr else None
+            o0 = n_in + int(has_intr)
+            outs = edge_math(*vals, k_ref, cfg, intr=intr, premu=pm)
+            flat = []
+            for r, o in zip(refs[o0:o0 + len(outs)], outs):
+                o2 = o.reshape(r.shape[0], -1)
+                r[...] = o2.astype(r.dtype)
+                flat.append(o2)
+            cam_part_ref, lmk_part_ref = refs[o0 + len(outs):]
         # reduction epilogue: messages (already in registers) -> per-CELL
         # window accumulations via the same one-hots. Output blocks are
         # keyed by grid cell (base/128); consecutive grid steps that share
@@ -356,7 +388,6 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
         # in VMEM and is written to HBM once per cell.
         msg_cam = jnp.concatenate([flat[5], flat[6]])          # [27, BE]
         msg_lmk = jnp.concatenate([flat[7], flat[8]])          # [9, BE]
-        cam_part_ref, lmk_part_ref = refs[o0 + len(outs):]
 
         @plx.when(first_c)
         def _():
@@ -490,7 +521,7 @@ def sweep_fused_pallas(
     outs = plx.pallas_call(
         functools.partial(_fused_kernel, cfg, sub, cam_win.w, lmk_win.w,
                           var_major, bool(interpret), intr is not None,
-                          bool(premu)),
+                          bool(premu), False),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         cost_estimate=cost,
@@ -509,6 +540,106 @@ def sweep_fused_pallas(
         outs = [o[:, :e] for o in outs]
     outs[-1] = outs[-1].astype(jnp.bool_)
     return tuple(outs), cam_part, lmk_part
+
+
+def sweep_fused_packed(
+    pk: jax.Array, dc: jax.Array, rb: jax.Array, active: jax.Array,
+    const_pack: jax.Array, cam_tbl: jax.Array, lmk_tbl: jax.Array,
+    cam_idx: jax.Array, lmk_idx: jax.Array,
+    cam_win, lmk_win, k: jax.Array, cfg: GBPConfig,
+    interpret: bool = False, has_intr: bool = False,
+):
+    """Fused sweep on the PACKED edge-state carry: ``pk`` [109, E] f32
+    (core.gbp.EDGE_PACK_FIELDS rows), ``dc`` [E] i32 damping counter,
+    ``rb`` [E] bool robust flag, ``active`` [E] (graph constant),
+    ``const_pack`` = meas|meas_var(|intr) [3 or 6, E]. Identical math to
+    :func:`sweep_fused_pallas` (same kernel body, premu on) with ~12
+    pipelined operand copies per grid step instead of ~223.
+    Returns (pk', dc', rb', cam_grid, lmk_grid)."""
+    e = pk.shape[-1]
+    sub = 8
+    be = max(cfg.pallas_block_edges, sub * 128)
+    assert cam_win.block_edges == be and lmk_win.block_edges == be
+    e_pad = _round_up(e, be)
+    pad = e_pad - e
+    nb = e_pad // be
+
+    def prep(x):
+        if x.ndim == 1:
+            x = x[None]
+        if x.dtype == jnp.bool_:
+            x = x.astype(jnp.uint8)
+        if pad:
+            x = jnp.pad(x, [(0, 0), (0, pad)])
+        return x
+
+    pk_p, dc_p, rb_p, act_p, const_p = (prep(pk), prep(dc), prep(rb),
+                                        prep(active), prep(const_pack))
+    ci = prep(cam_idx)
+    li = prep(lmk_idx)
+    nc_c = cam_win.visited.shape[0]
+    nc_l = lmk_win.visited.shape[0]
+    out_shapes = [
+        jax.ShapeDtypeStruct((pk_p.shape[0], e_pad), pk_p.dtype),
+        jax.ShapeDtypeStruct((1, e_pad), jnp.int32),
+        jax.ShapeDtypeStruct((1, e_pad), jnp.uint8),
+        jax.ShapeDtypeStruct((nc_c, 27, cam_win.w), jnp.float32),
+        jax.ShapeDtypeStruct((nc_l, 9, lmk_win.w), jnp.float32),
+    ]
+
+    def spec(shape):
+        return plx.BlockSpec((shape[0], be), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[plx.BlockSpec(memory_space=pltpu.SMEM),     # intrinsics
+                  spec(ci.shape), spec(li.shape),
+                  plx.BlockSpec(memory_space=plx.ANY),      # cam table
+                  plx.BlockSpec(memory_space=plx.ANY),      # lmk table
+                  spec(const_p.shape), spec(pk_p.shape),
+                  spec(dc_p.shape), spec(rb_p.shape), spec(act_p.shape)],
+        out_specs=([spec(s.shape) for s in out_shapes[:3]]
+                   + [plx.BlockSpec((1,) + out_shapes[3].shape[1:],
+                                    lambda i, cb, lb: (cb[i] // 128, 0, 0),
+                                    memory_space=pltpu.VMEM),
+                      plx.BlockSpec((1,) + out_shapes[4].shape[1:],
+                                    lambda i, cb, lb: (lb[i] // 128, 0, 0),
+                                    memory_space=pltpu.VMEM)]),
+        scratch_shapes=[
+            pltpu.VMEM((cam_win.w, cam_tbl.shape[-1]), jnp.float32),
+            pltpu.VMEM((lmk_win.w, lmk_tbl.shape[-1]), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    cost = plx.CostEstimate(
+        flops=3000 * e_pad + 2 * e_pad * 32 * (cam_win.w + lmk_win.w),
+        bytes_accessed=2 * (pk_p.shape[0] + 6) * e_pad * 4,
+        transcendentals=12 * e_pad,
+    )
+
+    outs = plx.pallas_call(
+        functools.partial(_fused_kernel, cfg, sub, cam_win.w, lmk_win.w,
+                          False, bool(interpret), bool(has_intr),
+                          True, True),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        cost_estimate=cost,
+        interpret=interpret,
+        # in-place update of the packed carry: operands are
+        # (2 prefetch, k, ci, li, cam_tbl, lmk_tbl, const, pk, dc, rb, act)
+        input_output_aliases={8: 0, 9: 1, 10: 2},
+    )(cam_win.base, lmk_win.base, k, ci, li, cam_tbl, lmk_tbl,
+      const_p, pk_p, dc_p, rb_p, act_p)
+
+    pk_o, dc_o, rb_o, cam_part, lmk_part = outs
+    if pad:
+        pk_o, dc_o, rb_o = (x[:, :e] for x in (pk_o, dc_o, rb_o))
+    return (pk_o, dc_o[0], rb_o[0].astype(jnp.bool_),
+            cam_part, lmk_part)
 
 
 def uses_native_gather(e: int, cfg: GBPConfig) -> bool:

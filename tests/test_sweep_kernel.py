@@ -173,6 +173,36 @@ def prob_grid():
                                          pixel_noise=0.5)
 
 
+def test_packed_carry_matches_plain(prob_grid):
+    """run_gbp's packed edge-state hot scan (cfg.pallas_packed_carry, ONE
+    [109, E] carry instead of 14 arrays — kills the per-sweep scan-carry
+    copies XLA inserts in the chunked production loop) is bit-exact
+    against the plain carry: the kernel slices the packed rows into the
+    identical plane views."""
+    import dataclasses
+
+    base = GBPConfig(use_pallas=KERNEL, edge_pad_multiple=256,
+                     pallas_block_edges=256, pallas_fused=True)
+    states = {}
+    for name, cfg in [
+            ("packed", base),
+            ("plain", dataclasses.replace(base, pallas_packed_carry=False))]:
+        g = build_graph(prob_grid, cfg)
+        if name == "packed":
+            assert g.cam_win is not None   # fused windows -> packed engages
+        s = init_state(prob_grid, cfg)
+        s = jax.jit(lambda s: gbp.initialise(s, g, cfg))(s)
+        s, d = jax.jit(lambda s: gbp.run_gbp(s, g, cfg, 8, iter_offset=0))(s)
+        states[name] = (s, np.asarray(d.reproj_err))
+    atol = 0.0 if not ON_TPU else 1e-5
+    for f in states["plain"][0]._fields:
+        a = np.asarray(getattr(states["plain"][0], f))
+        b = np.asarray(getattr(states["packed"][0], f))
+        np.testing.assert_allclose(b, a, rtol=0, atol=atol, err_msg=f)
+    np.testing.assert_allclose(states["packed"][1], states["plain"][1],
+                               rtol=0 if not ON_TPU else 1e-6)
+
+
 @pytest.mark.parametrize("which", ["whole_table", "grid"])
 def test_sweep_tables_matches_fused(prob, prob_grid, which):
     """The table-carried sweep (var-major kernel epilogue +
