@@ -129,7 +129,25 @@ def _bench_ladybug(k_sweeps):
     ms = dt * 1e3 / k_sweeps
     print(f"ladybug: {graph.n_edges} edges, err {err0:.2f} -> {err1:.2f} px "
           f"after {k_sweeps} sweeps, {ms:.3f} ms/sweep", file=sys.stderr)
-    return ms, graph.n_edges, err1
+
+    # the PRODUCTION path at scale: run_gbp's chunked hot loop (packed
+    # edge-state carry; accel chunk boundaries included). The raw chain
+    # above cannot see scan-carry copy regressions — this number can
+    # (5.64 ms/sweep with the plain carry vs 3.99 packed, measured r3).
+    run = jax.jit(lambda st: gbp.run_gbp(
+        st, graph, cfg, k_sweeps, with_diagnostics=False,
+        iter_offset=2 * cfg.steps)[0])
+    dt_run = _timed(run, state)
+    err2, _ = jax.jit(lambda s: gbp.reprojection_error(s, graph))(run(state))
+    err2 = float(err2)
+    if not (np.isfinite(err2) and err2 < err0):
+        print(f"LADYBUG RUN GUARD FAILED: err {err0} -> {err2}",
+              file=sys.stderr)
+        sys.exit(1)
+    run_ms = dt_run * 1e3 / k_sweeps
+    print(f"ladybug production run_gbp: {run_ms:.3f} ms/sweep",
+          file=sys.stderr)
+    return ms, run_ms, graph.n_edges, err1
 
 
 def main():
@@ -154,8 +172,9 @@ def main():
         extra["fr2robot2_sweeps_per_sec"] = round(r2_sps, 2)
         extra["fr2robot2_err_at_guard_px"] = round(r2_err, 3)
     if with_scale:
-        ms, n_edges, lerr = _bench_ladybug(LADYBUG_K)
+        ms, run_ms, n_edges, lerr = _bench_ladybug(LADYBUG_K)
         extra["ladybug_ms_per_sweep"] = round(ms, 4)
+        extra["ladybug_run_gbp_ms_per_sweep"] = round(run_ms, 4)
         extra["ladybug_edges"] = int(n_edges)
         extra["ladybug_ns_per_edge"] = round(ms * 1e6 / n_edges, 3)
 
