@@ -27,17 +27,26 @@ from gbp_poplar_tpu.core import build_graph, init_state, gbp
 from gbp_poplar_tpu.utils import balio
 
 
-def bench(prob, name, cfg, K, sanity=False):
+def bench(prob, name, cfg, K, sanity=False, production=False):
+    """``production`` times run_gbp (the chunked hot loop with the packed
+    edge-state carry and accel boundaries) instead of the raw gbp_sweep
+    chain — the raw chain cannot see scan-carry copy effects (measured
+    5.64 vs 3.99 ms/sweep at 1M edges, docs/PERFORMANCE.md)."""
     graph = build_graph(prob, cfg)
     s = jax.jit(lambda st: gbp.initialise(st, graph, cfg))(
         init_state(prob, cfg))
     jax.block_until_ready(s)
 
-    @jax.jit
-    def run(x):
-        return jax.lax.scan(
-            lambda c, _: (gbp.gbp_sweep(c, graph, cfg), None),
-            x, None, length=K)[0]
+    if production:
+        run = jax.jit(lambda x: gbp.run_gbp(
+            x, graph, cfg, K, with_diagnostics=False,
+            iter_offset=2 * cfg.steps)[0])
+    else:
+        @jax.jit
+        def run(x):
+            return jax.lax.scan(
+                lambda c, _: (gbp.gbp_sweep(c, graph, cfg), None),
+                x, None, length=K)[0]
 
     r = run(s)
     jax.block_until_ready(r)
@@ -58,11 +67,14 @@ def bench(prob, name, cfg, K, sanity=False):
 
 
 def main():
-    names = sys.argv[1:] or ["fr1xyz"]
+    args = sys.argv[1:]
+    production = "--production" in args
+    names = [a for a in args if a != "--production"] or ["fr1xyz"]
     cfg = GBPConfig()
     for n in names:
         if n == "ladybug":
-            bench(balio.synthetic_problem_large(1723, 156000, 7), n, cfg, 100)
+            bench(balio.synthetic_problem_large(1723, 156000, 7), n, cfg,
+                  100, production=production)
         elif n == "ladybug_snavely":
             bench(balio.synthetic_problem_large(1723, 156000, 7,
                                                 snavely=True), n, cfg, 100)
@@ -80,7 +92,7 @@ def main():
                 bench(balio.synthetic_problem_large(c, l, o), name, cfg,
                       100, sanity=True)
         else:
-            bench(balio.load_bal(n), n, cfg, 2000)
+            bench(balio.load_bal(n), n, cfg, 2000, production=production)
 
 
 if __name__ == "__main__":
