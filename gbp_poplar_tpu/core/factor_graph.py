@@ -169,6 +169,29 @@ def edge_order(problem: BAProblem) -> np.ndarray:
                        np.asarray(problem.lmk_idx)))
 
 
+def bad_edge_mask(
+    problem: BAProblem, bad_ids, cfg: GBPConfig
+) -> np.ndarray:
+    """[E_padded] bool mask of known-bad data associations in the CANONICAL
+    graph edge order, from original-problem edge indices.
+
+    The reference keeps a ``bad_associations`` index list that its host
+    error eval skips (ba/util.cpp:100, include/util.h:21, default empty);
+    here the per-edge arrays are reordered by ``edge_order`` at build time,
+    so the hook takes original BAL-file edge ids and returns the mask the
+    on-device eval (core/gbp.reprojection_error) consumes.
+    """
+    ids = np.asarray(list(bad_ids), np.int64)
+    if ids.size and (ids.min() < 0 or ids.max() >= problem.n_edges):
+        raise ValueError(
+            f"bad association ids must be in [0, {problem.n_edges})")
+    orig = np.zeros(problem.n_edges, bool)
+    orig[ids] = True
+    mask = orig[edge_order(problem)]
+    e_pad = padded_n_edges(problem, cfg)
+    return np.pad(mask, (0, e_pad - problem.n_edges))
+
+
 def build_graph(
     problem: BAProblem, cfg: GBPConfig, dtype=jnp.float32
 ) -> GBPGraph:

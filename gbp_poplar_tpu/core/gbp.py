@@ -904,9 +904,17 @@ class Diagnostics(NamedTuple):
 
 
 def reprojection_error(
-    state: GBPState, graph: GBPGraph, axis_name: str | None = None
+    state: GBPState, graph: GBPGraph, axis_name: str | None = None,
+    bad: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Mean reprojection residual norm and total cost over active edges."""
+    """Mean reprojection residual norm and total cost over active edges.
+
+    ``bad`` is an optional [E] bool mask (canonical graph edge order) of
+    known-bad data associations to exclude from the statistics — the
+    reference's ``bad_associations`` list (ba/util.cpp:100, default empty;
+    build one from original-problem edge ids with
+    ``factor_graph.bad_edge_mask``).
+    """
     cam_mu, lmk_mu = _variable_means(state)
     mu_c = jnp.take(cam_mu, graph.cam_idx, axis=1)
     mu_l = jnp.take(lmk_mu, graph.lmk_idx, axis=1)
@@ -920,6 +928,8 @@ def reprojection_error(
     # solve overflows); they are transient during annealing/insertion and
     # would otherwise wipe the whole telemetry to NaN
     valid = (state.active > 0)[None] & jnp.isfinite(norm)
+    if bad is not None:
+        valid = valid & ~bad[None]
     active = valid.astype(norm.dtype)
     norm = jnp.where(valid, norm, 0.0)
     n_active = jnp.sum(active)
@@ -993,13 +1003,16 @@ def iteration(
 def map_cost(
     state: GBPState, graph: GBPGraph, cfg: GBPConfig,
     axis_name: str | None = None, lmk_sharded: bool = False,
+    bad: jax.Array | None = None,
 ) -> jax.Array:
     """The MAP objective at the current belief means: sum of Huber losses
     (whitened) over active edges + the Gaussian prior quadratic (up to the
     prior mean's constant, which cancels in comparisons).
 
     Mirrors the Gauss-Newton baseline's objective (core/gauss_newton.py),
-    evaluated on the GBP state entirely on device.
+    evaluated on the GBP state entirely on device. ``bad`` optionally
+    excludes known-bad associations from the data term (the reference's
+    ``bad_associations`` hook, ba/util.cpp:100).
     """
     cam_mu, lmk_mu = _variable_means(state)
     mu_c = jnp.take(cam_mu, graph.cam_idx, axis=1)
@@ -1014,6 +1027,8 @@ def map_cost(
     k = cfg.huber_nstds
     loss = jnp.where(err > k, k * err - 0.5 * k * k, 0.5 * err2)
     ok = (state.active > 0)[None] & jnp.isfinite(loss)
+    if bad is not None:
+        ok = ok & ~bad[None]
     robust = jnp.sum(jnp.where(ok, loss, 0.0))
 
     def quad(lam_planes, eta_planes, mu_planes, d):

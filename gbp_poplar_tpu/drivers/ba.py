@@ -244,10 +244,12 @@ def main(argv=None) -> int:
               f"max camera movement {moved:.5f} m", file=sys.stderr)
     # independent host-side oracle (pure NumPy, no shared device code) —
     # the reference's per-iteration host eval (ba/util.cpp:74-144), here at
-    # end-of-solve granularity
-    o_err, o_cost = evaluation.numpy_reprojection_error(cam_mu, lmk_mu,
-                                                        problem)
-    print(f"host oracle: reproj_err {o_err:.5f} px  cost {o_cost:.4f}",
+    # end-of-solve granularity (--bad_assoc = its bad_associations skip list)
+    bad = common.parse_bad_assoc(args.bad_assoc)
+    o_err, o_cost = evaluation.numpy_reprojection_error(
+        cam_mu, lmk_mu, problem, bad_associations=bad or None)
+    excl = f"  ({len(bad)} bad associations excluded)" if bad else ""
+    print(f"host oracle: reproj_err {o_err:.5f} px  cost {o_cost:.4f}{excl}",
           file=sys.stderr)
     if args.v:
         np.set_printoptions(precision=5, suppress=True)

@@ -94,6 +94,22 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "sweep with Lambda damping 0.7 (damped Gauss-Newton "
                         "message passing — free on TPU, more robust on hard "
                         "sequences such as fr1desk)")
+    p.add_argument("--bad_assoc", default=None,
+                   help="known-bad data associations to exclude from the "
+                        "error evaluation: comma-separated original edge "
+                        "ids, or @file with one id per line (the "
+                        "reference's bad_associations list, "
+                        "ba/util.cpp:100 — default empty there too)")
+
+
+def parse_bad_assoc(arg: str | None) -> list[int]:
+    """--bad_assoc value -> list of original-problem edge indices."""
+    if not arg:
+        return []
+    if arg.startswith("@"):
+        with open(arg[1:]) as f:
+            return [int(t) for t in f.read().split()]
+    return [int(t) for t in arg.split(",") if t.strip()]
 
 
 def config_from_args(

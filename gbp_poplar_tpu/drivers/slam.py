@@ -275,10 +275,13 @@ def main(argv=None) -> int:
         cam_mu, lmk_mu = pol_cam, np.asarray(res.lmk)
         print(f"polish: reproj {float(res.reproj_err[-1]):.5f} px, "
               f"max camera movement {moved:.5f} m", file=sys.stderr)
-    # independent host-side oracle (pure NumPy; ba/util.cpp:74-144)
+    # independent host-side oracle (pure NumPy; ba/util.cpp:74-144;
+    # --bad_assoc = the reference's bad_associations skip list)
+    bad = common.parse_bad_assoc(args.bad_assoc)
     o_err, o_cost = evaluation.numpy_reprojection_error(
-        cam_mu, lmk_mu, problem)
-    print(f"host oracle: reproj_err {o_err:.5f} px  cost {o_cost:.4f}",
+        cam_mu, lmk_mu, problem, bad_associations=bad or None)
+    excl = f"  ({len(bad)} bad associations excluded)" if bad else ""
+    print(f"host oracle: reproj_err {o_err:.5f} px  cost {o_cost:.4f}{excl}",
           file=sys.stderr)
     if args.v:
         np.set_printoptions(precision=5, suppress=True)

@@ -178,6 +178,43 @@ def partition_by_landmark(
     return graph, state._replace(**state_fields)
 
 
+def rebuild_partitioned_windows(
+    graph: GBPGraph, n_shards: int, cfg: GBPConfig
+) -> GBPGraph:
+    """Re-derive the per-shard stacked fused-sweep windows of a BLOCK-LOCAL
+    (map-partitioned) graph — e.g. one loaded from a checkpoint, which
+    persists only plain arrays (utils/checkpoint.py drops the derived
+    BlockedIndex structures). Without this, a resumed ``--devices N`` run
+    silently falls back to the unfused sweep: a multi-x slowdown AND a
+    different fp32 reduction order than the uninterrupted run.
+
+    Window derivation is a pure function of the edge->variable id lists,
+    so the rebuilt windows are identical to the ones
+    ``partition_by_landmark`` built originally. Per shard, real edges are
+    a prefix of the block and stay landmark-sorted, so a trailing
+    (cam 0, lmk 0) run can only be inert fill (a real local-(0,0) edge
+    sorts first) — the same trim rule as ``real_edge_count``.
+    """
+    e_blk = graph.n_edges // n_shards
+    l_blk = graph.n_points // n_shards
+    ci = np.asarray(graph.cam_idx)
+    li = np.asarray(graph.lmk_idx)
+    cam_lists, lmk_lists = [], []
+    for s in range(n_shards):
+        c = ci[s * e_blk:(s + 1) * e_blk]
+        l = li[s * e_blk:(s + 1) * e_blk]
+        r = real_edge_count(c, l)
+        cam_lists.append(c[:r])
+        lmk_lists.append(l[:r])
+    from ..ops.reduce_kernel import build_stacked_windows
+    kb = max(cfg.pallas_block_edges, 1024)
+    cam_win = build_stacked_windows(cam_lists, graph.n_keyframes, kb, e_blk)
+    lmk_win = build_stacked_windows(lmk_lists, l_blk, kb, e_blk)
+    if cam_win is None or lmk_win is None:
+        return graph
+    return graph._replace(cam_win=cam_win, lmk_win=lmk_win)
+
+
 @dataclasses.dataclass(frozen=True)
 class MapShardedSolver:
     """Map-partitioned solver entry points bound to one (mesh, cfg)."""

@@ -122,7 +122,8 @@ def export_tum(
 
 
 def numpy_reprojection_error(
-    cam_mu: np.ndarray, lmk_mu: np.ndarray, problem
+    cam_mu: np.ndarray, lmk_mu: np.ndarray, problem,
+    bad_associations=None,
 ) -> tuple[float, float]:
     """Independent host-side reprojection-error oracle (pure NumPy).
 
@@ -132,6 +133,10 @@ def numpy_reprojection_error(
     with the solver, so this function re-implements the measurement model
     from scratch in NumPy (own Rodrigues, own projection; no JAX, no shared
     code) and returns (mean residual norm px, total cost 0.5*sum||r||^2).
+
+    ``bad_associations`` is an optional iterable of ORIGINAL problem edge
+    indices to exclude — the reference's default-empty skip list
+    (ba/util.cpp:100, include/util.h:21).
     """
     cam = np.asarray(cam_mu, np.float64)      # [C, 6] (t, w)
     lmk = np.asarray(lmk_mu, np.float64)      # [L, 3]
@@ -168,4 +173,8 @@ def numpy_reprojection_error(
     r = np.stack([meas[:, 0] - u, meas[:, 1] - v], axis=1)
     norm = np.linalg.norm(r, axis=1)
     ok = np.isfinite(norm)
+    if bad_associations is not None:
+        bad = np.zeros(norm.shape[0], bool)
+        bad[np.asarray(list(bad_associations), np.int64)] = True
+        ok &= ~bad
     return float(norm[ok].mean()), float(0.5 * np.sum(norm[ok] ** 2))

@@ -127,3 +127,46 @@ def test_debug_dump_edge(synthetic):
     np.testing.assert_allclose(info["f_lam_cc"], info["f_lam_cc"].T)
     assert np.isfinite(info["msg_to_cam_eta"]).all()
     debug.print_edge(state, graph, 3)   # smoke: formats without error
+
+
+def test_bad_associations_excluded(synthetic):
+    """The reference's bad_associations skip list (ba/util.cpp:100):
+    excluded edges must not contribute to either evaluation path, and
+    the two paths must agree on the exclusion."""
+    from gbp_poplar_tpu.core.factor_graph import bad_edge_mask
+
+    cfg = GBPConfig()
+    graph = build_graph(synthetic, cfg)
+    state = gbp.initialise(init_state(synthetic, cfg), graph, cfg)
+    state = gbp.gbp_sweep(state, graph, cfg)
+
+    bad_ids = [0, 7, synthetic.n_edges - 1]
+    mask = bad_edge_mask(synthetic, bad_ids, cfg)
+    assert mask.shape[0] == graph.n_edges and mask.sum() == len(bad_ids)
+
+    err_all, cost_all = map(float, gbp.reprojection_error(state, graph))
+    err_ex, cost_ex = map(float, gbp.reprojection_error(
+        state, graph, bad=jnp.asarray(mask)))
+    assert cost_ex < cost_all          # strictly fewer residuals summed
+    assert err_ex != err_all
+
+    # host oracle agrees with the device eval under the same exclusion
+    cam_mu, lmk_mu = analysis.belief_means(state)
+    o_err, _ = evaluation.numpy_reprojection_error(
+        cam_mu, lmk_mu, synthetic, bad_associations=bad_ids)
+    assert abs(o_err - err_ex) < 1e-3
+
+    # map_cost drops the excluded edges' data term (zero the priors so the
+    # quadratic term cannot swamp the Huber sum in fp32)
+    s0 = state._replace(
+        cam_prior_eta=jnp.zeros_like(state.cam_prior_eta),
+        cam_prior_lam=jnp.zeros_like(state.cam_prior_lam),
+        lmk_prior_eta=jnp.zeros_like(state.lmk_prior_eta),
+        lmk_prior_lam=jnp.zeros_like(state.lmk_prior_lam))
+    c_all = float(gbp.map_cost(s0, graph, cfg))
+    c_ex = float(gbp.map_cost(s0, graph, cfg, bad=jnp.asarray(mask)))
+    assert c_ex < c_all
+
+    import pytest
+    with pytest.raises(ValueError):
+        bad_edge_mask(synthetic, [synthetic.n_edges], cfg)
