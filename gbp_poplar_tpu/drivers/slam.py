@@ -98,9 +98,9 @@ class _MapShardedSlam:
         from ..parallel.sharding import expand_specs
 
         if partitioned:
-            # resume path: state/graph already in block-local layout
-            # (checkpoints drop derived window structures, so this runs
-            # the unfused sweep; see utils/checkpoint.py)
+            # resume path: state/graph already in block-local layout; the
+            # caller re-derived the fused-sweep windows from the loaded
+            # arrays (map_sharding.rebuild_partitioned_windows)
             graph = self._graph_raw
             gs = jax.tree.map(
                 lambda s: NamedSharding(self._mesh, s),
@@ -176,9 +176,15 @@ def main(argv=None) -> int:
         resumed_partitioned = ck_devices > 1
         if resumed_partitioned:
             # map-sharded checkpoints are block-local partitioned layouts;
-            # the built (global-layout) graph does not apply
+            # the built (global-layout) graph does not apply. Checkpoints
+            # drop the derived window structures — re-derive the per-shard
+            # stacked windows so the resumed run takes the same fused sweep
+            # path (and fp32 reduction order) as the uninterrupted one.
             if g2 is not None:
-                graph = g2
+                from ..parallel.map_sharding import (
+                    rebuild_partitioned_windows,
+                )
+                graph = rebuild_partitioned_windows(g2, ck_devices, cfg)
         else:
             graph = common.resume_graph(graph, g2)
         start_kf = meta.get("kf", meta.get("step", 0) // ibk + 1)

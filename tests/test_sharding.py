@@ -340,3 +340,43 @@ def test_map_sharded_slam(problem):
             st2 = solver.insert_keyframe(st2, g2, k + 1, 6.0)
     final = last[-10:].mean()
     assert np.isfinite(final) and final < 1.5
+
+
+def test_rebuild_partitioned_windows(problem):
+    """A map-sharded checkpoint drops the derived window structures; the
+    resume path must re-derive per-shard stacked windows IDENTICAL to the
+    ones partition_by_landmark built (drivers/slam.py --resume under
+    --devices N must keep the fused sweep path)."""
+    from gbp_poplar_tpu.parallel import partition_by_landmark
+    from gbp_poplar_tpu.parallel.map_sharding import (
+        rebuild_partitioned_windows,
+    )
+
+    def roundtrip(prob, n):
+        cfg = GBPConfig()
+        graph = build_graph(prob, cfg)
+        state = init_state(prob, cfg)
+        pg, _ = partition_by_landmark(graph, state, n, cfg)
+        assert pg.cam_win is not None and pg.lmk_win is not None
+        stripped = pg._replace(cam_win=None, lmk_win=None)
+        rg = rebuild_partitioned_windows(stripped, n, cfg)
+        for f in ("cam_win", "lmk_win"):
+            a, b = getattr(pg, f), getattr(rg, f)
+            assert b is not None
+            assert (a.w, a.block_edges, a.stride, a.k) == \
+                   (b.w, b.block_edges, b.stride, b.k)
+            np.testing.assert_array_equal(np.asarray(a.base),
+                                          np.asarray(b.base))
+            np.testing.assert_array_equal(np.asarray(a.visited),
+                                          np.asarray(b.visited))
+        return pg
+
+    roundtrip(problem, 4)
+
+    # per-shard landmark block larger than the whole-table limit: the
+    # rebuilt windows must be genuine grid windows, not a fallback
+    from gbp_poplar_tpu.utils import balio
+    big = balio.synthetic_problem_large(n_keyframes=40, n_points=9000,
+                                        obs_per_lmk=4, seed=1)
+    pg = roundtrip(big, 2)
+    assert pg.lmk_win.k == 0
