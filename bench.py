@@ -1,11 +1,13 @@
 """Headline benchmark: synchronous GBP sweeps/sec on fr1xyz (single chip),
-plus guarded extra measurements (fr2robot2, the Ladybug-scale 1.09M-edge
-synthetic) so the scale story cannot regress silently.
+plus guarded extra measurements (fr1desk, fr2robot2, incremental-SLAM
+throughput, the Ladybug-scale 1.09M-edge synthetic) so neither the scale
+story nor the one known-bistable sequence can regress silently.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sweeps/s", "vs_baseline": N,
-   "extra": {"fr2robot2_sweeps_per_sec": ..., "ladybug_ms_per_sweep": ...,
-             "ladybug_edges": ..., ...}}
+   "extra": {"fr2robot2_sweeps_per_sec": ..., "fr1desk_sweeps_per_sec": ...,
+             "slam_fr2robot2_sweeps_per_sec": ...,
+             "ladybug_ms_per_sweep": ..., "ladybug_edges": ..., ...}}
 
 The reference repo publishes no numbers (BASELINE.md); the paper it
 implements (arXiv:2003.03134) reports bundle-adjustment convergence in tens
@@ -134,9 +136,13 @@ def _bench_ladybug(k_sweeps):
     # edge-state carry; accel chunk boundaries included). The raw chain
     # above cannot see scan-carry copy regressions — this number can
     # (5.64 ms/sweep with the plain carry vs 3.99 packed, measured r3).
+    # iter_offset = accel_start so the accel steps are LIVE — the regime
+    # ~90% of a 1500-iteration solve runs in (the pre-accel_start window
+    # statically elides its chunk work since round 4 and runs at the raw
+    # no-accel rate).
     run = jax.jit(lambda st: gbp.run_gbp(
         st, graph, cfg, k_sweeps, with_diagnostics=False,
-        iter_offset=2 * cfg.steps)[0])
+        iter_offset=cfg.accel_start)[0])
     dt_run = _timed(run, state)
     err2, _ = jax.jit(lambda s: gbp.reprojection_error(s, graph))(run(state))
     err2 = float(err2)
@@ -148,6 +154,60 @@ def _bench_ladybug(k_sweeps):
     print(f"ladybug production run_gbp: {run_ms:.3f} ms/sweep",
           file=sys.stderr)
     return ms, run_ms, graph.n_edges, err1
+
+
+def _bench_slam(seq, ibk):
+    """(sweeps/s, final err) for an incremental SLAM run at the reference
+    cadence (the reference's flagship demo, ba/slam.cpp): keyframes inserted
+    every `ibk` sweeps, per-segment host dispatch included — the throughput
+    a SLAM user sees. Compiles are warmed out (the reference also times
+    after Engine compile)."""
+    import jax
+    import numpy as np
+
+    from gbp_poplar_tpu.config import GBPConfig
+    from gbp_poplar_tpu.core import build_graph, init_state, gbp, slam
+    from gbp_poplar_tpu.utils import balio, flags as flags_lib
+
+    # the slam driver's default damped-GN schedule (drivers/slam.py)
+    cfg = GBPConfig(relin_every_iter=True, eta_damping=0.7,
+                    lambda_damping=True, iters_before_damping=0,
+                    relin_behind_camera=False,
+                    behind_camera_rescue_iters=300,
+                    iters_between_kfs=ibk)
+    problem = balio.load_bal(seq)
+    graph = build_graph(problem, cfg)
+    state0 = init_state(problem, cfg,
+                        flags=flags_lib.create_flags(problem, cfg.steps))
+
+    runner = jax.jit(lambda s: gbp.run_gbp(s, graph, cfg, ibk,
+                                           with_diagnostics=False))
+    inserter = jax.jit(
+        lambda s, k: slam.insert_keyframe(s, graph, cfg, k, 1.0))
+    initialiser = jax.jit(lambda s: gbp.initialise(s, graph, cfg))
+    # warm all three compiles on throwaway state
+    w = initialiser(state0)
+    w, _ = runner(w)
+    jax.block_until_ready(inserter(w, 1))
+
+    t0 = time.perf_counter()
+    res = slam.solve_slam(
+        state0, graph, cfg, n_keyframes=problem.n_keyframes,
+        iters_between_kfs=ibk, with_diagnostics=False,
+        runner=runner, inserter=inserter, initialiser=initialiser)
+    import jax as _jax
+    _jax.block_until_ready(res.state)
+    dt = time.perf_counter() - t0
+    n_sweeps = (problem.n_keyframes - 1) * ibk
+    err, _ = jax.jit(lambda s: gbp.reprojection_error(s, graph))(res.state)
+    err = float(err)
+    if not (np.isfinite(err) and err < 3.0):
+        print(f"SLAM GUARD FAILED ({seq}): final err={err}", file=sys.stderr)
+        sys.exit(1)
+    print(f"slam {seq}: {problem.n_keyframes} kf x {ibk} iters, "
+          f"{n_sweeps / dt:.0f} sweeps/s incl. insertion, "
+          f"final err {err:.3f} px", file=sys.stderr)
+    return n_sweeps / dt, err
 
 
 def main():
@@ -171,6 +231,18 @@ def main():
                                     min(guard_px, 2.0))
         extra["fr2robot2_sweeps_per_sec"] = round(r2_sps, 2)
         extra["fr2robot2_err_at_guard_px"] = round(r2_err, 3)
+        # fr1desk: the one sequence with a known fp32-bistable failure mode
+        # (docs/VALIDATION.md) — the TPU bench must notice if a schedule
+        # change re-breaks it (measured err@500 = 1.78 px on v5e)
+        dk_sps, dk_err = _bench_tum("fr1desk", n_sweeps, guard_iters,
+                                    guard_px)
+        extra["fr1desk_sweeps_per_sec"] = round(dk_sps, 2)
+        extra["fr1desk_err_at_guard_px"] = round(dk_err, 3)
+        # incremental SLAM throughput at the reference cadence
+        ibk = int(os.environ.get("GBP_BENCH_SLAM_IBK", 700))
+        sl_sps, sl_err = _bench_slam("fr2robot2", ibk)
+        extra["slam_fr2robot2_sweeps_per_sec"] = round(sl_sps, 2)
+        extra["slam_fr2robot2_final_err_px"] = round(sl_err, 3)
     if with_scale:
         ms, run_ms, n_edges, lerr = _bench_ladybug(LADYBUG_K)
         extra["ladybug_ms_per_sweep"] = round(ms, 4)

@@ -46,6 +46,23 @@ def _variable_means(state: GBPState) -> tuple[jax.Array, jax.Array]:
     return pl.pack_vec(cam_mu), pl.pack_vec(lmk_mu)
 
 
+def _edge_gather(src: jax.Array, idx: jax.Array, bidx,
+                 cfg: GBPConfig | None) -> jax.Array:
+    """Gather per-variable planes [comp, V] to per-edge [comp, E].
+
+    Plain XLA take, deliberately: routing these through the standalone
+    blocked one-hot MXU gather (ops/reduce_kernel.blocked_gather) was
+    MEASURED SLOWER in the accel chunk step at 1.09M edges (4.33 vs
+    3.97 ms/sweep live-accel run_gbp) — the per-CALL var-major source
+    build ([L, 128] lane-pad + transpose, ~80 MB at L=156k) eats the
+    gather win. The in-kernel fused gather wins only because its table
+    is built once per sweep and shared. The round-2 advice stands for
+    standalone gathers: takes from small [*, C]/[*, L] sources are fine.
+    (bidx/cfg kept in the signature so call sites state their intent.)"""
+    del bidx, cfg
+    return jnp.take(src, idx, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # belief update (replaces popops reduceWithOutput, reference: ba/ba.cpp:104-139)
 # ---------------------------------------------------------------------------
@@ -114,8 +131,8 @@ def _linearise_planes(state: GBPState, graph: GBPGraph, cfg: GBPConfig):
     z [1, E] landmark depth in the camera frame — for depth guards).
     """
     cam_mu, lmk_mu = _variable_means(state)
-    mu_c = jnp.take(cam_mu, graph.cam_idx, axis=1)     # [6, E]
-    mu_l = jnp.take(lmk_mu, graph.lmk_idx, axis=1)     # [3, E]
+    mu_c = _edge_gather(cam_mu, graph.cam_idx, graph.cam_blocked, cfg)
+    mu_l = _edge_gather(lmk_mu, graph.lmk_idx, graph.lmk_blocked, cfg)
     eta_c, eta_l, lam_cc, lam_cl, lam_ll, robust, y_cf = pl.linearise(
         pl.unpack_vec(mu_c, 6), pl.unpack_vec(mu_l, 3), graph.k,
         graph.meas[0:1], graph.meas[1:2], graph.meas_var[None],
@@ -666,10 +683,21 @@ def gbp_sweep(
                           _interpret(cfg))
 
 
+def _sanitize_means(cam_mu: jax.Array, lmk_mu: jax.Array):
+    """Zero whole columns with any non-finite component (the premu table
+    rule: a singular belief's mean must not leak ANY component — matching
+    what rides the fused kernel's gather). Returns (cam, lmk, cam_ok,
+    lmk_ok)."""
+    cam_ok = jnp.all(jnp.isfinite(cam_mu), axis=0, keepdims=True)
+    lmk_ok = jnp.all(jnp.isfinite(lmk_mu), axis=0, keepdims=True)
+    return (jnp.where(cam_ok, cam_mu, 0.0), jnp.where(lmk_ok, lmk_mu, 0.0),
+            cam_ok, lmk_ok)
+
+
 def _make_tables(
     state: GBPState, graph: GBPGraph, widths: tuple[int, int] = (128, 128),
-    premu: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+    premu: bool = False, return_means: bool = False,
+):
     """Beliefs in the fused kernel's var-major lane-padded table layout
     ([rows, 128]; cols 0..26 = cam eta|packed Lambda, 0..8 for landmarks).
 
@@ -695,18 +723,20 @@ def _make_tables(
     cam_cols = [state.cam_eta, state.cam_lam]
     lmk_cols = [state.lmk_eta, state.lmk_lam]
     used_c, used_l = 27, 9
+    cam_mu_s = lmk_mu_s = None
     if premu:
-        cam_mu, lmk_mu = _variable_means(state)
-        cam_ok = jnp.all(jnp.isfinite(cam_mu), axis=0, keepdims=True)
-        lmk_ok = jnp.all(jnp.isfinite(lmk_mu), axis=0, keepdims=True)
+        cam_mu_s, lmk_mu_s, cam_ok, lmk_ok = _sanitize_means(
+            *_variable_means(state))
         f = state.cam_eta.dtype
-        cam_cols += [jnp.where(cam_ok, cam_mu, 0.0), cam_ok.astype(f)]
-        lmk_cols += [jnp.where(lmk_ok, lmk_mu, 0.0), lmk_ok.astype(f)]
+        cam_cols += [cam_mu_s, cam_ok.astype(f)]
+        lmk_cols += [lmk_mu_s, lmk_ok.astype(f)]
         used_c, used_l = 34, 13
     cam_tbl = jnp.pad(jnp.concatenate(cam_cols).T,
                       [(0, cam_rows - c), (0, widths[0] - used_c)])
     lmk_tbl = jnp.pad(jnp.concatenate(lmk_cols).T,
                       [(0, lmk_rows - l), (0, widths[1] - used_l)])
+    if return_means:
+        return cam_tbl, lmk_tbl, cam_mu_s, lmk_mu_s
     return cam_tbl, lmk_tbl
 
 
@@ -860,12 +890,17 @@ def _gbp_sweep_fused_packed(
     ~12 per-step operand copies instead of ~223 (~0.8 µs/step of
     orchestration, probe-measured). ``state``'s edge fields are STALE
     while the packed carry is live; beliefs/priors/flags stay current.
-    Returns (state-with-new-beliefs, pk, dc, rb)."""
+    Returns (state-with-new-beliefs, pk, dc, rb, pre-sweep means) — the
+    means (sanitized per-variable [6,C]/[3,L], already solved for the premu
+    table) let the accel chunk loop accumulate chunk-averaged means WITHOUT
+    a second per-sweep mean solve (the round-3 production loop paid one in
+    hot_scan.accum every sweep: 4.00 vs 3.64 ms/sweep at 1.09M edges)."""
     from ..ops.reduce_kernel import combine_grid
     from ..ops.sweep_kernel import sweep_fused_packed
 
     c, l = graph.n_keyframes, graph.n_points
-    cam_tbl, lmk_tbl = _make_tables(state, graph, premu=True)
+    cam_tbl, lmk_tbl, cam_mu_s, lmk_mu_s = _make_tables(
+        state, graph, premu=True, return_means=True)
     pk, dc, rb, cam_part, lmk_part = sweep_fused_packed(
         pk, dc, rb, state.active, const_pack, cam_tbl, lmk_tbl,
         graph.cam_idx, graph.lmk_idx, graph.cam_win, graph.lmk_win,
@@ -883,7 +918,7 @@ def _gbp_sweep_fused_packed(
         cam_lam=state.cam_prior_lam + cam_sum[6:],
         lmk_eta=state.lmk_prior_eta + lmk_sum[:3],
         lmk_lam=state.lmk_prior_lam + lmk_sum[3:])
-    return state, pk, dc, rb
+    return state, pk, dc, rb, (cam_mu_s, lmk_mu_s)
 
 
 # ---------------------------------------------------------------------------
@@ -905,7 +940,7 @@ class Diagnostics(NamedTuple):
 
 def reprojection_error(
     state: GBPState, graph: GBPGraph, axis_name: str | None = None,
-    bad: jax.Array | None = None,
+    bad: jax.Array | None = None, cfg: GBPConfig | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Mean reprojection residual norm and total cost over active edges.
 
@@ -913,11 +948,13 @@ def reprojection_error(
     known-bad data associations to exclude from the statistics — the
     reference's ``bad_associations`` list (ba/util.cpp:100, default empty;
     build one from original-problem edge ids with
-    ``factor_graph.bad_edge_mask``).
+    ``factor_graph.bad_edge_mask``). ``cfg`` (optional) enables the
+    blocked MXU gathers on large graphs — identical values, ~6x faster
+    per-edge mean gathers at 1M edges.
     """
     cam_mu, lmk_mu = _variable_means(state)
-    mu_c = jnp.take(cam_mu, graph.cam_idx, axis=1)
-    mu_l = jnp.take(lmk_mu, graph.lmk_idx, axis=1)
+    mu_c = _edge_gather(cam_mu, graph.cam_idx, graph.cam_blocked, cfg)
+    mu_l = _edge_gather(lmk_mu, graph.lmk_idx, graph.lmk_blocked, cfg)
     (u, v), _, _ = pl.project(
         pl.unpack_vec(mu_c, 6), pl.unpack_vec(mu_l, 3), graph.k,
         None if graph.intr is None else pl.unpack_vec(graph.intr, 3))
@@ -948,7 +985,7 @@ def diagnostics(
     state: GBPState, graph: GBPGraph, cfg: GBPConfig,
     axis_name: str | None = None, with_cam_means: bool = False,
 ) -> Diagnostics:
-    err, cost = reprojection_error(state, graph, axis_name)
+    err, cost = reprojection_error(state, graph, axis_name, cfg=cfg)
     n_relins = jnp.sum(
         (state.damping_count == -cfg.num_undamped_iters).astype(jnp.int32)
         * state.active.astype(jnp.int32))
@@ -1015,8 +1052,8 @@ def map_cost(
     ``bad_associations`` hook, ba/util.cpp:100).
     """
     cam_mu, lmk_mu = _variable_means(state)
-    mu_c = jnp.take(cam_mu, graph.cam_idx, axis=1)
-    mu_l = jnp.take(lmk_mu, graph.lmk_idx, axis=1)
+    mu_c = _edge_gather(cam_mu, graph.cam_idx, graph.cam_blocked, cfg)
+    mu_l = _edge_gather(lmk_mu, graph.lmk_idx, graph.lmk_blocked, cfg)
     (u, v), _, _ = pl.project(
         pl.unpack_vec(mu_c, 6), pl.unpack_vec(mu_l, 3), graph.k,
         None if graph.intr is None else pl.unpack_vec(graph.intr, 3))
@@ -1088,10 +1125,10 @@ def _apply_mean_shift(
     cshare = jnp.where(degc > 0, 1.0 / jnp.maximum(degc, 1.0), 0.0)[None]
     lshare = jnp.where(degl > 0, 1.0 / jnp.maximum(degl, 1.0), 0.0)[None]
     cand = state._replace(
-        msg_c_eta=state.msg_c_eta + act * jnp.take(
-            cam_deta * cshare, graph.cam_idx, axis=1),
-        msg_l_eta=state.msg_l_eta + act * jnp.take(
-            lmk_deta * lshare, graph.lmk_idx, axis=1))
+        msg_c_eta=state.msg_c_eta + act * _edge_gather(
+            cam_deta * cshare, graph.cam_idx, graph.cam_blocked, cfg),
+        msg_l_eta=state.msg_l_eta + act * _edge_gather(
+            lmk_deta * lshare, graph.lmk_idx, graph.lmk_blocked, cfg))
     # NOTE: forcing relinearisation at the shifted means was tried and is
     # actively harmful (relin storms destabilise fr1desk); the sweep's own
     # lazy trigger recaptures once the jump re-quiesces.
@@ -1102,13 +1139,16 @@ def _apply_mean_shift(
 def _coarse_step(
     state: GBPState, graph: GBPGraph, cfg: GBPConfig, degs,
     axis_name: str | None, lmk_sharded: bool,
-    cost: jax.Array | None = None,
+    cost: jax.Array | None = None, live=None,
 ) -> GBPState:
     """Coarse-space correction (core/coarse.py): solve the MAP increment in
     the per-group rigid subspace and apply it if the cost decreases.
     Vanishes at the MAP fixed point (zero coarse gradient). ``cost`` is the
     caller's already-computed map_cost of ``state``, threaded through from
-    _accel_step so a chunk boundary evaluates each candidate once."""
+    _accel_step so a chunk boundary evaluates each candidate once. ``live``
+    (traced bool or None = statically live) folds the caller's
+    accel-window gate into the acceptance, replacing a full-state select
+    outside."""
     from . import coarse
 
     cam_mu, lmk_mu = _variable_means(state)
@@ -1122,6 +1162,8 @@ def _coarse_step(
                                  scale * d_lmk, degs, axis_name, lmk_sharded)
         cost = map_cost(cand, graph, cfg, axis_name, lmk_sharded)
         better = cost < best_cost
+        if live is not None:
+            better = better & live
         best = jax.tree.map(lambda a, b: jnp.where(better, a, b), cand, best)
         best_cost = jnp.where(better, cost, best_cost)
     return best
@@ -1129,7 +1171,7 @@ def _coarse_step(
 
 def _accel_step(
     state: GBPState, snap, avg, graph: GBPGraph, cfg: GBPConfig, degs,
-    axis_name: str | None, lmk_sharded: bool,
+    axis_name: str | None, lmk_sharded: bool, live=None,
 ):
     """One fixed-point extrapolation at a chunk boundary.
 
@@ -1161,7 +1203,10 @@ def _accel_step(
     deltas (measured cos^2 < 0.5 on fr1desk); averaging over a chunk
     cancels the oscillation and leaves the drift.
 
-    ``snap`` = (avg_cam_prev, avg_lmk_prev, cam_dmu_prev).
+    ``snap`` = (avg_cam_prev, avg_lmk_prev, cam_dmu_prev). ``live``
+    (traced bool, or None = statically live) is the caller's accel-window
+    gate (it_end >= accel_start), folded into the acceptance so a gated
+    chunk needs no full-state select outside this function.
     """
     cam_mu_prev, lmk_mu_prev, dmu_prev = snap
     avg_cam, avg_lmk = avg
@@ -1193,6 +1238,8 @@ def _accel_step(
     cost_cand = map_cost(cand, graph, cfg, axis_name, lmk_sharded)
     cost_cur = map_cost(state, graph, cfg, axis_name, lmk_sharded)
     better = cost_cand <= cost_cur
+    if live is not None:
+        better = better & live
     accept = lambda a, b: jnp.where(better, a, b)   # noqa: E731
     state = jax.tree.map(accept, cand, state)
 
@@ -1201,7 +1248,9 @@ def _accel_step(
     # is drift, not the jump echo
     jump_c = jnp.where(better, gain * dc_mu, 0.0)
     jump_l = jnp.where(better, gain * dl_mu, 0.0)
-    snap = (avg_cam + jump_c, avg_lmk + jump_l, dc_mu)
+    dmu_out = (dc_mu if live is None
+               else jnp.where(live, dc_mu, dmu_prev))
+    snap = (avg_cam + jump_c, avg_lmk + jump_l, dmu_out)
     return state, snap, jnp.where(better, cost_cand, cost_cur)
 
 
@@ -1301,20 +1350,20 @@ def run_gbp(
                       jnp.zeros((3, graph.n_points), s.cam_eta.dtype))
 
         def accum(ac, al, st):
-            mc, ml = _variable_means(st)
-            ac = ac + jnp.nan_to_num(mc, nan=0.0, posinf=0.0, neginf=0.0)
-            al = al + jnp.nan_to_num(ml, nan=0.0, posinf=0.0, neginf=0.0)
-            return ac, al
+            # sanitisation matches the premu table rule (_sanitize_means):
+            # a singular belief's mean contributes nothing, whole column
+            mc, ml, _, _ = _sanitize_means(*_variable_means(st))
+            return ac + mc, al + ml
 
         if packed_mode:
             pk0, dc0, rb0 = pack_edge_state(s)
 
-            def body(carry, _):
+            def body(carry, i):
                 st, pk, dc, rb, ac, al = carry
-                st, pk, dc, rb = _gbp_sweep_fused_packed(
+                st, pk, dc, rb, pre = _gbp_sweep_fused_packed(
                     st, pk, dc, rb, const_pack, graph, cfg,
                     axis_name, lmk_sharded)
-                if with_diagnostics or collect_means:
+                if with_diagnostics:
                     # edge fields in st are stale inside the packed scan;
                     # diagnostics only needs the live counters/flags
                     view = st._replace(damping_count=dc, robust=rb)
@@ -1322,12 +1371,24 @@ def run_gbp(
                                    verbose_means)
                        if with_diagnostics else None)
                 if collect_means:
-                    ac, al = accum(ac, al, st)
+                    # The sweep's premu table already solved the PRE-sweep
+                    # means (= sweep i-1's post-sweep means): accumulate
+                    # them for i > 0 and add the final post-scan means
+                    # below — the same values in the same addition order
+                    # as a per-sweep post-sweep accumulation, at ~1 mean
+                    # solve per CHUNK instead of per sweep (the round-3
+                    # production loop's 4.00 vs 3.64 ms/sweep tax at
+                    # 1.09M edges was exactly this second solve).
+                    keep = i > 0
+                    ac = ac + jnp.where(keep, pre[0], 0.0)
+                    al = al + jnp.where(keep, pre[1], 0.0)
                 return (st, pk, dc, rb, ac, al), out
 
             (s, pk, dc, rb, ac, al), diag = jax.lax.scan(
-                body, (s, pk0, dc0, rb0, *zero_means), None, length=n)
+                body, (s, pk0, dc0, rb0, *zero_means), jnp.arange(n))
             s = unpack_edge_state(s, pk, dc, rb)
+            if collect_means:
+                ac, al = accum(ac, al, s)
             return s, diag, ((ac, al) if collect_means else None)
 
         if table_mode:
@@ -1382,9 +1443,34 @@ def run_gbp(
 
     n_chunks = n2 // ce
     rem = n2 - n_chunks * ce
-    cam_mu0, lmk_mu0 = _variable_means(state)
-    snap0 = (cam_mu0, lmk_mu0, jnp.zeros_like(cam_mu0))
     degs = _active_degrees(state, graph, axis_name, lmk_sharded)
+
+    # Static dead-chunk elision: with a static offset, chunks whose accel
+    # step cannot fire (it_end < accel_start) run as PLAIN hot scans — the
+    # gated path would compute the full accel step (two map_costs, a
+    # mean-shift trial, a full-state select: ~34 ms/chunk at 1.09M edges)
+    # and discard it. Only the LAST dead chunk collects means, seeding
+    # `snap` exactly as the gated path would (its dmu entry stays zero
+    # through dead chunks).
+    static_off = isinstance(off2, int)
+    n_dead = 0
+    if static_off:
+        n_dead = min(n_chunks,
+                     max(0, -(-(cfg.accel_start - ce - off2) // ce)))
+    if n_dead:
+        if n_dead > 1:
+            state, d0, _ = hot_scan(state, (n_dead - 1) * ce, False)
+            if with_diagnostics:
+                diag_parts.append(d0)
+        state, d1, sums = hot_scan(state, ce, True)
+        if with_diagnostics:
+            diag_parts.append(d1)
+        avg_c, avg_l = sums[0] / ce, sums[1] / ce
+        snap0 = (avg_c, avg_l, jnp.zeros_like(avg_c))
+    else:
+        cam_mu0, lmk_mu0 = _variable_means(state)
+        snap0 = (cam_mu0, lmk_mu0, jnp.zeros_like(cam_mu0))
+    n_live = n_chunks - n_dead
 
     def chunk_body(carry, c):
         s, snap = carry
@@ -1396,24 +1482,24 @@ def run_gbp(
         # jumps and hence the solver's trajectory.
         s, diag, sums = hot_scan(s, ce, True)
         avg = (sums[0] / ce, sums[1] / ce)
-        it_end = c * ce + ce + off2
-        s2, snap2, cost2 = _accel_step(s, snap, avg, graph, cfg, degs,
-                                       axis_name, lmk_sharded)
+        # post-elision chunks are statically live; with a TRACED offset the
+        # gate rides inside the acceptance of the accel/coarse steps
+        live = (None if static_off
+                else (c * ce + ce + off2) >= cfg.accel_start)
+        s, snap, cost2 = _accel_step(s, snap, avg, graph, cfg, degs,
+                                     axis_name, lmk_sharded, live=live)
         if cfg.coarse_groups > 0:
-            s2 = _coarse_step(s2, graph, cfg, degs, axis_name, lmk_sharded,
-                              cost=cost2)
-        live = it_end >= cfg.accel_start
-        s = jax.tree.map(lambda a, b: jnp.where(live, a, b), s2, s)
-        snap = jax.tree.map(lambda a, b: jnp.where(live, a, b), snap2,
-                            (avg[0], avg[1], snap[2]))
+            s = _coarse_step(s, graph, cfg, degs, axis_name, lmk_sharded,
+                             cost=cost2, live=live)
         return (s, snap), diag
 
-    (state, _), diag = jax.lax.scan(chunk_body, (state, snap0),
-                                    jnp.arange(n_chunks))
-    if with_diagnostics:
-        diag = jax.tree.map(
-            lambda x: x.reshape((n_chunks * ce,) + x.shape[2:]), diag)
-        diag_parts.append(diag)
+    if n_live:
+        (state, _), diag = jax.lax.scan(chunk_body, (state, snap0),
+                                        jnp.arange(n_dead, n_chunks))
+        if with_diagnostics:
+            diag = jax.tree.map(
+                lambda x: x.reshape((n_live * ce,) + x.shape[2:]), diag)
+            diag_parts.append(diag)
     if rem:
         state, diag_rem, _ = hot_scan(state, rem, False)
         if with_diagnostics:

@@ -263,3 +263,26 @@ def test_relinearise_masked_depth_guard_sidedness(synthetic):
     assert not np.array_equal(after_two, before)
     # one-sided guard (z > min_depth): refused, factor unchanged
     np.testing.assert_array_equal(after_one, before)
+
+
+def test_static_accel_elision_matches_traced_gating(synthetic):
+    """With a static iter_offset, chunks before accel_start are ELIDED to
+    plain hot scans (no accel-step compute at all); with a traced offset
+    the same chunks run gated accel steps whose acceptance is masked off.
+    Both must produce identical states and telemetry — the elision is an
+    optimization, not a schedule change."""
+    cfg = GBPConfig(accel_every=8, accel_start=40, steps=5)
+    graph = build_graph(synthetic, cfg)
+    state0 = gbp.initialise(init_state(synthetic, cfg), graph, cfg)
+
+    # off2 = 10 static: chunks end at iters 18/26/34/42/50/58 -> 3 dead
+    s_a, d_a = jax.jit(
+        lambda s: gbp.run_gbp(s, graph, cfg, 48, iter_offset=10))(state0)
+    s_b, d_b = jax.jit(
+        lambda s: gbp.run_gbp(s, graph, cfg, 48,
+                              iter_offset=jnp.asarray(10, jnp.int32),
+                              warm=0))(state0)
+    np.testing.assert_array_equal(np.asarray(d_a.reproj_err),
+                                  np.asarray(d_b.reproj_err))
+    for a, b in zip(jax.tree.leaves(s_a), jax.tree.leaves(s_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -173,27 +173,56 @@ def prob_grid():
                                          pixel_noise=0.5)
 
 
-def test_packed_carry_matches_plain(prob_grid):
+@pytest.mark.parametrize("chunked", [False, True])
+def test_packed_carry_matches_plain(prob_grid, chunked):
     """run_gbp's packed edge-state hot scan (cfg.pallas_packed_carry, ONE
     [109, E] carry instead of 14 arrays — kills the per-sweep scan-carry
     copies XLA inserts in the chunked production loop) is bit-exact
     against the plain carry: the kernel slices the packed rows into the
-    identical plane views."""
+    identical plane views.
+
+    iter_offset is past the annealing warmup so the HOT scan actually runs
+    (with offset 0 and n <= 2*steps every sweep takes the annealing body
+    and neither carry engages — the original form of this test pinned
+    nothing). ``chunked`` additionally drives the accel chunk path, whose
+    packed body accumulates the premu table's PRE-sweep means (one solve
+    per chunk instead of per sweep) — the accumulated averages, accepted
+    jumps, and final states must stay bit-exact vs the plain body's
+    post-sweep accumulation."""
     import dataclasses
 
     base = GBPConfig(use_pallas=KERNEL, edge_pad_multiple=256,
                      pallas_block_edges=256, pallas_fused=True)
+    if chunked:
+        base = dataclasses.replace(base, accel_every=4, accel_start=0)
     states = {}
-    for name, cfg in [
-            ("packed", base),
-            ("plain", dataclasses.replace(base, pallas_packed_carry=False))]:
-        g = build_graph(prob_grid, cfg)
-        if name == "packed":
-            assert g.cam_win is not None   # fused windows -> packed engages
-        s = init_state(prob_grid, cfg)
-        s = jax.jit(lambda s: gbp.initialise(s, g, cfg))(s)
-        s, d = jax.jit(lambda s: gbp.run_gbp(s, g, cfg, 8, iter_offset=0))(s)
-        states[name] = (s, np.asarray(d.reproj_err))
+    spy = {"n": 0}
+    orig = gbp._gbp_sweep_fused_packed
+
+    def spied(*a, **k):
+        spy["n"] += 1
+        return orig(*a, **k)
+
+    gbp._gbp_sweep_fused_packed = spied
+    try:
+        for name, cfg in [
+                ("packed", base),
+                ("plain",
+                 dataclasses.replace(base, pallas_packed_carry=False))]:
+            g = build_graph(prob_grid, cfg)
+            if name == "packed":
+                assert g.cam_win is not None  # fused windows -> packed path
+            s = init_state(prob_grid, cfg)
+            s = jax.jit(lambda s: gbp.initialise(s, g, cfg))(s)
+            n = 16 if chunked else 8
+            before = spy["n"]
+            s, d = jax.jit(
+                lambda s: gbp.run_gbp(s, g, cfg, n, iter_offset=10))(s)
+            if name == "packed":
+                assert spy["n"] > before   # the packed hot scan traced
+            states[name] = (s, np.asarray(d.reproj_err))
+    finally:
+        gbp._gbp_sweep_fused_packed = orig
     atol = 0.0 if not ON_TPU else 1e-5
     for f in states["plain"][0]._fields:
         a = np.asarray(getattr(states["plain"][0], f))
