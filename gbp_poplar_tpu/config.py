@@ -174,6 +174,16 @@ class GBPConfig:
     # Pack/unpack runs at hot-scan (chunk) cadence, never per sweep;
     # bit-exact vs the plain carry (tests/test_sweep_kernel.py).
     pallas_packed_carry: bool = True
+    # Sub-blocked fused gather/reduce: instead of one [W, BE] one-hot per
+    # edge block (built in registers, contracted over the whole window),
+    # process 128-edge SUB-blocks against [sub_w, 128] one-hots whose base
+    # is derived in-kernel from each sub-block's max id. Kills the
+    # W-dependent one-hot build and most gather/reduce MXU passes at large
+    # W; the reduce accumulates var-major partials at dynamic SUBLANE
+    # offsets (probe-verified on v5e). Requires windows built with
+    # sub_w > 0 for BOTH kinds (128-edge spans <= sub_w - 8; holds on all
+    # TUM sequences and the Ladybug-shape synthetic — measured <= 63).
+    pallas_subblock: bool = False
     # Carry beliefs through anneal-free sweeps as var-major TABLES (the
     # kernel's DMA layout) with a var-major reduction epilogue, instead of
     # plane arrays. Collapses the per-sweep XLA op count 53 -> 27, but

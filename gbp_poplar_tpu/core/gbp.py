@@ -852,7 +852,7 @@ def _gbp_sweep_fused(
     """One sweep through the fully-fused kernel: in-kernel windowed belief
     gather + edge math + reduction partials (ops/sweep_kernel.py); only the
     tiny window-partial combine and the prior add run as XLA ops."""
-    from ..ops.reduce_kernel import combine_grid
+    from ..ops.reduce_kernel import combine_grid_any
     from ..ops.sweep_kernel import sweep_fused_pallas
 
     c, l = graph.n_keyframes, graph.n_points
@@ -865,8 +865,8 @@ def _gbp_sweep_fused(
         interpret=_interpret(cfg), intr=graph.intr, premu=True)
     state = _apply_sweep_outputs(state, outs)
 
-    cam_sum = combine_grid(cam_part, graph.cam_win, c)        # [27, C]
-    lmk_sum = combine_grid(lmk_part, graph.lmk_win, l)        # [9, L]
+    cam_sum = combine_grid_any(cam_part, graph.cam_win, c, 27)  # [27, C]
+    lmk_sum = combine_grid_any(lmk_part, graph.lmk_win, l, 9)   # [9, L]
     if axis_name is not None:
         if lmk_sharded:
             cam_sum = jax.lax.psum(cam_sum, axis_name)
@@ -895,7 +895,7 @@ def _gbp_sweep_fused_packed(
     table) let the accel chunk loop accumulate chunk-averaged means WITHOUT
     a second per-sweep mean solve (the round-3 production loop paid one in
     hot_scan.accum every sweep: 4.00 vs 3.64 ms/sweep at 1.09M edges)."""
-    from ..ops.reduce_kernel import combine_grid
+    from ..ops.reduce_kernel import combine_grid_any
     from ..ops.sweep_kernel import sweep_fused_packed
 
     c, l = graph.n_keyframes, graph.n_points
@@ -906,8 +906,8 @@ def _gbp_sweep_fused_packed(
         graph.cam_idx, graph.lmk_idx, graph.cam_win, graph.lmk_win,
         graph.k, cfg, interpret=_interpret(cfg),
         has_intr=graph.intr is not None)
-    cam_sum = combine_grid(cam_part, graph.cam_win, c)
-    lmk_sum = combine_grid(lmk_part, graph.lmk_win, l)
+    cam_sum = combine_grid_any(cam_part, graph.cam_win, c, 27)
+    lmk_sum = combine_grid_any(lmk_part, graph.lmk_win, l, 9)
     if axis_name is not None:
         if lmk_sharded:
             cam_sum = jax.lax.psum(cam_sum, axis_name)

@@ -39,8 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 class BlockedIndex(NamedTuple):
     """Static per-block indexing for one variable kind.
 
-    Registered as a pytree with (w, block_edges, stride, k) as STATIC aux
-    data so a BlockedIndex can live inside jitted arguments (GBPGraph).
+    Registered as a pytree with (w, block_edges, stride, k, sub_w) as
+    STATIC aux data so a BlockedIndex can live inside jitted arguments
+    (GBPGraph).
     """
 
     base: jax.Array       # [n_blocks] int32 — first variable id in block
@@ -54,13 +55,41 @@ class BlockedIndex(NamedTuple):
     stride: int           # uniform base stride (structured combine), or 0
     k: int                # w // stride when structured; -1 marks
                           # whole-table windows; else 0
+    # Sub-window capacity per 128-edge SUB-block (multiple of 8), for the
+    # fused kernel's sub-blocked gather/reduce (cfg.pallas_subblock):
+    # every 128 consecutive edges span <= sub_w - 8 distinct variables.
+    # 0 = spans too wide, sub-blocking unavailable for this kind.
+    sub_w: int = 0
 
 
 jax.tree_util.register_pytree_node(
     BlockedIndex,
-    lambda b: ((b.base, b.visited), (b.w, b.block_edges, b.stride, b.k)),
+    lambda b: ((b.base, b.visited),
+               (b.w, b.block_edges, b.stride, b.k, b.sub_w)),
     lambda aux, leaves: BlockedIndex(leaves[0], leaves[1], *aux),
 )
+
+
+def sub_window_capacity(idx: np.ndarray, n_edges_padded: int,
+                        sub: int = 128, cap: int = 256) -> int:
+    """Max-span-derived sub-window size: the smallest multiple of 8 such
+    that every ``sub`` consecutive REAL edges span <= that - 8 variables
+    (the kernel derives each sub-block's base by aligning its max id down
+    to 8, so coverage needs span <= sub_w - 8). Span analysis pads with
+    the last real id (the runtime zero-padding is handled by the kernel's
+    max-derived base: inert id-0 edges either miss the window entirely or
+    carry zero messages). Returns 0 when the spans exceed ``cap`` —
+    sub-blocking then stays off for this kind."""
+    e = len(idx)
+    if e == 0:
+        return 0
+    n_sub = -(-n_edges_padded // sub)
+    idx_p = np.full(n_sub * sub, idx[-1], np.int64)
+    idx_p[:e] = idx.astype(np.int64)
+    rows = idx_p.reshape(n_sub, sub)
+    span = int((rows.max(axis=1) - rows.min(axis=1)).max())
+    ws = -(-(span + 8) // 8) * 8
+    return ws if ws <= cap else 0
 
 
 def build_blocked_index(
@@ -274,6 +303,17 @@ def combine_grid_var(grid: jax.Array, bidx: BlockedIndex,
     return acc[:rows]
 
 
+def combine_grid_any(grid: jax.Array, bidx: BlockedIndex, n_var: int,
+                     comp: int) -> jax.Array:
+    """Merge fused-kernel cell partials into [comp, n_var] planes, for
+    either emit layout: plane-major [nc, comp, W] (combine_grid) or the
+    sub-blocked reduce's var-major [nc, W, lanes] (combine_grid_var +
+    transpose — the lanes hold comp values zero-padded to 32/16)."""
+    if grid.shape[1] == bidx.w:      # var-major (plane-major has comp here)
+        return combine_grid_var(grid, bidx, n_var).T[:comp]
+    return combine_grid(grid, bidx, n_var)
+
+
 def build_fused_window(
     idx: np.ndarray, n_var: int, block_edges: int,
     n_edges_padded: int | None = None,
@@ -287,6 +327,8 @@ def build_fused_window(
     covering the padded table; marked with k = -1 so combine_partials sums
     over blocks); returns None when neither applies (the sweep then uses
     the unfused XLA gather + blocked/segment reduction)."""
+    e_pad = n_edges_padded or len(idx)
+    sub_w = sub_window_capacity(idx, e_pad)
     b = build_blocked_index(idx, n_var, block_edges,
                             n_edges_padded=n_edges_padded, max_span=max_span,
                             grid_only=True)
@@ -295,16 +337,15 @@ def build_fused_window(
         # which requires every base value to occupy one contiguous run of
         # grid steps — guaranteed by nondecreasing bases
         if bool(np.all(np.diff(np.asarray(b.base)) >= 0)):
-            return b
+            return b._replace(sub_w=min(sub_w, b.w))
     if n_var <= max_whole_table:
-        e = len(idx)
-        e_pad = n_edges_padded or e
         n_blocks = -(-e_pad // block_edges)
         w = int(2 ** np.ceil(np.log2(max(n_var, 128))))
         return BlockedIndex(
             base=jnp.zeros((n_blocks,), jnp.int32),
             visited=jnp.ones((1,), bool),
-            w=w, block_edges=block_edges, stride=0, k=-1)
+            w=w, block_edges=block_edges, stride=0, k=-1,
+            sub_w=min(sub_w, w))
     return None
 
 
@@ -349,6 +390,10 @@ def build_stacked_windows(
         parts.append(b)
     if grid_ok:
         w = max((p.w for p in parts if p is not None), default=128)
+        # common static sub-window: the max over shards, 0 if any shard's
+        # spans disqualify it (inert shards don't constrain)
+        subs = [p.sub_w for p in parts if p is not None]
+        sub_w = 0 if (subs and 0 in subs) else max(subs, default=0)
         bases, visits = [], []
         for p in parts:
             if p is None:
@@ -362,14 +407,19 @@ def build_stacked_windows(
         return BlockedIndex(
             base=jnp.asarray(np.concatenate(bases)),
             visited=jnp.asarray(np.concatenate(visits)),
-            w=int(w), block_edges=block_edges, stride=0, k=0)
+            w=int(w), block_edges=block_edges, stride=0, k=0,
+            sub_w=min(sub_w, int(w)))
     if n_var <= max_whole_table:
         n = len(shard_idx)
         w = int(2 ** np.ceil(np.log2(max(n_var, 128))))
+        subs = [sub_window_capacity(np.asarray(ix), shard_len)
+                for ix in shard_idx if np.asarray(ix).size]
+        sub_w = 0 if (subs and 0 in subs) else max(subs, default=0)
         return BlockedIndex(
             base=jnp.zeros((n * nb,), jnp.int32),
             visited=jnp.ones((n,), bool),
-            w=w, block_edges=block_edges, stride=0, k=-1)
+            w=w, block_edges=block_edges, stride=0, k=-1,
+            sub_w=min(sub_w, w))
     return None
 
 

@@ -262,7 +262,7 @@ def _dot3(v, oh, dims, oh_first=False, single_pass=False):
 
 def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
                   interp: bool, has_intr: bool, premu: bool, packed: bool,
-                  cam_base_ref, lmk_base_ref,
+                  subw: tuple, cam_base_ref, lmk_base_ref,
                   k_ref, cam_idx_ref, lmk_idx_ref, cam_tbl_ref, lmk_tbl_ref,
                   *refs):
     from ..core.gbp import EDGE_MATH_INPUTS, edge_math
@@ -272,7 +272,12 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
     i = plx.program_id(0)
     c0 = cam_base_ref[i]
     l0 = lmk_base_ref[i]
-    be = cam_idx_ref.shape[-1]
+    sub_mode = subw[0] > 0
+    # in sub mode the idx refs are bricked [NSUB, 128]; edges of sub-block
+    # j are row j (a ref row loads with a clean layout — broadcasting a
+    # lane-offset VALUE slice is a Mosaic wall, see round-3 notes)
+    be = (cam_idx_ref.shape[0] * cam_idx_ref.shape[1] if sub_mode
+          else cam_idx_ref.shape[-1])
 
     # window-DMA reuse: scratch persists across grid steps and the belief
     # tables are constant within a sweep, so a block whose window base
@@ -302,12 +307,6 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
             dma_l.start()
             dma_l.wait()
 
-        oh_c = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (wc, be), 0) + c0
-            == cam_idx_ref[...], 1.0, 0.0).astype(jnp.float32)
-        oh_l = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (wl, be), 0) + l0
-            == lmk_idx_ref[...], 1.0, 0.0).astype(jnp.float32)
         # gather: [W, width] window x [W, BE] one-hot -> [width, BE]
         # (exact: each output column is a single product value * 1.0; _dot3
         # keeps the value f32-exact at half of HIGHEST's MXU passes). The
@@ -320,10 +319,48 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
         # its per-edge mean solves.
         ncc = 34 if premu else 32
         ncl = 13 if premu else 32
-        cw = cwin[...] if cwin.shape[-1] <= ncc else cwin[:, :ncc]
-        lw = lwin[...] if lwin.shape[-1] <= ncl else lwin[:, :ncl]
-        gc = dot3(cw, oh_c, (((0,), (0,)), ((), ())))
-        gl = dot3(lw, oh_l, (((0,), (0,)), ((), ())))
+
+        def sub_oh(idx_ref, base0, ws, w, j):
+            # per-SUB-block one-hot ([ws, 128]) with a MAX-derived base:
+            # inert id-0 padding edges then either miss the window (their
+            # messages are zero anyway) or, in all-padding sub-blocks,
+            # harmlessly match a valid row. Coverage: 128-edge REAL spans
+            # are <= ws - 8 by construction (BlockedIndex.sub_w).
+            idx_j = idx_ref[j:j + 1, :]                     # [1, 128]
+            m = jnp.max(idx_j)
+            off = jnp.clip((m // 8) * 8 - (ws - 8) - base0, 0, w - ws)
+            oh = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (ws, 128), 0)
+                + (base0 + off) == idx_j,
+                1.0, 0.0).astype(jnp.float32)
+            return oh, off
+
+        if sub_mode:
+            nsub = be // 128
+            wsc, wsl = subw
+
+            def sub_gather(idx_ref, base0, ws, w, win, ncols):
+                outs = []
+                for j in range(nsub):
+                    oh, off = sub_oh(idx_ref, base0, ws, w, j)
+                    wj = win[plx.ds(off, ws), :]            # [ws, 128]
+                    outs.append(dot3(wj[:, :ncols], oh,
+                                     (((0,), (0,)), ((), ()))))
+                return jnp.concatenate(outs, axis=1)        # [ncols, be]
+
+            gc = sub_gather(cam_idx_ref, c0, wsc, wc, cwin, ncc)
+            gl = sub_gather(lmk_idx_ref, l0, wsl, wl, lwin, ncl)
+        else:
+            oh_c = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (wc, be), 0) + c0
+                == cam_idx_ref[...], 1.0, 0.0).astype(jnp.float32)
+            oh_l = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (wl, be), 0) + l0
+                == lmk_idx_ref[...], 1.0, 0.0).astype(jnp.float32)
+            cw = cwin[...] if cwin.shape[-1] <= ncc else cwin[:, :ncc]
+            lw = lwin[...] if lwin.shape[-1] <= ncl else lwin[:, :ncl]
+            gc = dot3(cw, oh_c, (((0,), (0,)), ((), ())))
+            gl = dot3(lw, oh_l, (((0,), (0,)), ((), ())))
         bc, bl = gc[:27], gl[:9]
 
         def brick(x):
@@ -397,7 +434,28 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
         def _():
             lmk_part_ref[...] = jnp.zeros_like(lmk_part_ref)
 
-        if var_major:
+        if sub_mode:
+            # sub-blocked reduce: per 128-edge sub-block, contract the
+            # message slice against the SAME small one-hot (oh-first, so
+            # the partial lands VAR-MAJOR [ws, comp]) and accumulate into
+            # the cell-keyed output at a dynamic SUBLANE offset (the one
+            # mechanism round 3 left untried; probe-verified on v5e).
+            # The big [W, BE] one-hots are never built.
+            def sub_reduce(msg, idx_ref, base0, ws, w, part_ref):
+                comp = msg.shape[0]
+                lanes = part_ref.shape[-1]
+                for j in range(nsub):
+                    oh, off = sub_oh(idx_ref, base0, ws, w, j)
+                    mj = msg[:, j * 128:(j + 1) * 128]
+                    d = dot3(mj, oh, (((1,), (1,)), ((), ())),
+                             oh_first=True)                  # [ws, comp]
+                    pad = jnp.zeros((ws, lanes - comp), jnp.float32)
+                    part_ref[0, plx.ds(off, ws), :] += jnp.concatenate(
+                        [d, pad], axis=1)
+
+            sub_reduce(msg_cam, cam_idx_ref, c0, wsc, wc, cam_part_ref)
+            sub_reduce(msg_lmk, lmk_idx_ref, l0, wsl, wl, lmk_part_ref)
+        elif var_major:
             # var-major partials [W, 128]: the XLA-side combine then only
             # merges MAJOR dims (bitcasts, no relayout copies) and the new
             # belief TABLE comes out directly — the hot loop never
@@ -449,6 +507,10 @@ def sweep_fused_pallas(
     e_pad = _round_up(e, be)
     pad = e_pad - e
     nb = e_pad // be
+    subw = ((cam_win.sub_w, lmk_win.sub_w)
+            if (cfg.pallas_subblock and not var_major
+                and cam_win.sub_w > 0 and lmk_win.sub_w > 0)
+            else (0, 0))
 
     def prep(x):
         if x.ndim == 1:
@@ -464,13 +526,23 @@ def sweep_fused_pallas(
         prepped.append(prep(intr))
     ci = prep(cam_idx)
     li = prep(lmk_idx)
+    if subw[0]:
+        # sub-blocked mode reads idx per 128-edge SUB-block as ref ROWS
+        ci = ci.reshape(e_pad // 128, 128)
+        li = li.reshape(e_pad // 128, 128)
     f = prepped[0].dtype
     dt = {"f": f, "i": jnp.int32, "u": jnp.uint8}
     nc_c = cam_win.visited.shape[0]
     nc_l = lmk_win.visited.shape[0]
     out_shapes = [jax.ShapeDtypeStruct((n, e_pad), dt[kind])
                   for (n, kind) in _OUT_LAYOUT]
-    if var_major:
+    if subw[0]:
+        # var-major cell partials, lanes = pow2 >= comp (27 -> 32, 9 -> 16)
+        out_shapes += [
+            jax.ShapeDtypeStruct((nc_c, cam_win.w, 32), jnp.float32),
+            jax.ShapeDtypeStruct((nc_l, lmk_win.w, 16), jnp.float32),
+        ]
+    elif var_major:
         out_shapes += [
             jax.ShapeDtypeStruct((nc_c, cam_win.w, 128), jnp.float32),
             jax.ShapeDtypeStruct((nc_l, lmk_win.w, 128), jnp.float32),
@@ -485,11 +557,17 @@ def sweep_fused_pallas(
         return plx.BlockSpec((shape[0], be), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM)
 
+    def idx_spec(x):
+        if subw[0]:
+            return plx.BlockSpec((be // 128, 128), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        return spec(x.shape)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=([plx.BlockSpec(memory_space=pltpu.SMEM),    # intrinsics
-                   spec(ci.shape), spec(li.shape),
+                   idx_spec(ci), idx_spec(li),
                    plx.BlockSpec(memory_space=plx.ANY),     # cam table
                    plx.BlockSpec(memory_space=plx.ANY)]     # lmk table
                   + [spec(x.shape) for x in prepped]),
@@ -521,7 +599,7 @@ def sweep_fused_pallas(
     outs = plx.pallas_call(
         functools.partial(_fused_kernel, cfg, sub, cam_win.w, lmk_win.w,
                           var_major, bool(interpret), intr is not None,
-                          bool(premu), False),
+                          bool(premu), False, subw),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         cost_estimate=cost,
@@ -573,29 +651,50 @@ def sweep_fused_packed(
             x = jnp.pad(x, [(0, 0), (0, pad)])
         return x
 
+    subw = ((cam_win.sub_w, lmk_win.sub_w)
+            if (cfg.pallas_subblock
+                and cam_win.sub_w > 0 and lmk_win.sub_w > 0)
+            else (0, 0))
     pk_p, dc_p, rb_p, act_p, const_p = (prep(pk), prep(dc), prep(rb),
                                         prep(active), prep(const_pack))
     ci = prep(cam_idx)
     li = prep(lmk_idx)
+    if subw[0]:
+        ci = ci.reshape(e_pad // 128, 128)
+        li = li.reshape(e_pad // 128, 128)
     nc_c = cam_win.visited.shape[0]
     nc_l = lmk_win.visited.shape[0]
     out_shapes = [
         jax.ShapeDtypeStruct((pk_p.shape[0], e_pad), pk_p.dtype),
         jax.ShapeDtypeStruct((1, e_pad), jnp.int32),
         jax.ShapeDtypeStruct((1, e_pad), jnp.uint8),
-        jax.ShapeDtypeStruct((nc_c, 27, cam_win.w), jnp.float32),
-        jax.ShapeDtypeStruct((nc_l, 9, lmk_win.w), jnp.float32),
     ]
+    if subw[0]:
+        out_shapes += [
+            jax.ShapeDtypeStruct((nc_c, cam_win.w, 32), jnp.float32),
+            jax.ShapeDtypeStruct((nc_l, lmk_win.w, 16), jnp.float32),
+        ]
+    else:
+        out_shapes += [
+            jax.ShapeDtypeStruct((nc_c, 27, cam_win.w), jnp.float32),
+            jax.ShapeDtypeStruct((nc_l, 9, lmk_win.w), jnp.float32),
+        ]
 
     def spec(shape):
         return plx.BlockSpec((shape[0], be), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM)
 
+    def idx_spec(x):
+        if subw[0]:
+            return plx.BlockSpec((be // 128, 128), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        return spec(x.shape)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[plx.BlockSpec(memory_space=pltpu.SMEM),     # intrinsics
-                  spec(ci.shape), spec(li.shape),
+                  idx_spec(ci), idx_spec(li),
                   plx.BlockSpec(memory_space=plx.ANY),      # cam table
                   plx.BlockSpec(memory_space=plx.ANY),      # lmk table
                   spec(const_p.shape), spec(pk_p.shape),
@@ -624,7 +723,7 @@ def sweep_fused_packed(
     outs = plx.pallas_call(
         functools.partial(_fused_kernel, cfg, sub, cam_win.w, lmk_win.w,
                           False, bool(interpret), bool(has_intr),
-                          True, True),
+                          True, True, subw),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         cost_estimate=cost,

@@ -69,6 +69,7 @@ _SLOW_TESTS = frozenset({
     "test_sweep_kernel_parity_vmem_brick",
     "test_sweep_kernel_parity_unaligned_edges",
     "test_packed_carry_matches_plain",
+    "test_subblock_sweep_matches_big_window",
     "test_table_carried_solve_matches_oracle",
     "test_sweep_kernel_short_solve",
     # test_gauss_newton / test_coarse (converged-agreement solves)

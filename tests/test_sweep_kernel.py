@@ -280,3 +280,33 @@ def test_table_carried_solve_matches_oracle(prob):
     assert np.isfinite(e_p).all()
     np.testing.assert_allclose(e_p[-1], e_x[-1], rtol=1e-2)
     assert e_p[-1] < e_p[0]
+
+
+def test_subblock_sweep_matches_big_window(prob_grid):
+    """cfg.pallas_subblock: per-128-edge sub-windows with max-derived
+    bases replace the [W, BE] one-hots. Gathers are value-exact, so every
+    EDGE-state output is bit-identical to the big-window path; the belief
+    sums differ only in fp32 accumulation order (per-sub-block partials
+    vs one big contraction)."""
+    import dataclasses
+
+    base = GBPConfig(use_pallas=KERNEL, edge_pad_multiple=256,
+                     pallas_block_edges=256, pallas_fused=True)
+    g = build_graph(prob_grid, base)
+    assert g.cam_win.sub_w > 0 and g.lmk_win.sub_w > 0
+    s0 = init_state(prob_grid, base)
+    s0 = jax.jit(lambda s: gbp.initialise(s, g, base))(s0)
+    s_big = jax.jit(lambda s: gbp.gbp_sweep(s, g, base))(s0)
+    cfg_sub = dataclasses.replace(base, pallas_subblock=True)
+    s_sub = jax.jit(lambda s: gbp.gbp_sweep(s, g, cfg_sub))(s0)
+    beliefs = {"cam_eta", "cam_lam", "lmk_eta", "lmk_lam"}
+    for f in s_big._fields:
+        a = np.asarray(getattr(s_big, f))
+        b = np.asarray(getattr(s_sub, f))
+        if f in beliefs:
+            # belief sums over hundreds of edges: summation-order noise
+            # scales with magnitude and edge degree
+            np.testing.assert_allclose(b, a, rtol=3e-4, atol=1e-3,
+                                       err_msg=f)
+        else:
+            np.testing.assert_array_equal(b, a, err_msg=f)
