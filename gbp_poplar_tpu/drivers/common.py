@@ -147,6 +147,15 @@ def config_from_args(
         relin_every_iter=gn_schedule,
         eta_damping=0.7 if gn_schedule else 0.4,
     )
+    if (cfg.relin_drift_threshold <= 0 and not cfg.lambda_damping
+            and not cfg.relin_every_iter):
+        import sys
+        print("warning: --relin_drift 0 without --lambda_damping runs the "
+              "reference's exact lazy dynamics INCLUDING its oscillation "
+              "instability — convergence on fr1desk-like graphs then "
+              "depends on the fp32 realisation of the backend "
+              "(docs/VALIDATION.md, round 4). Add --lambda_damping for a "
+              "stable lazy schedule.", file=sys.stderr)
     init_cfg = InitConfig(
         trans_noise=args.tn, rot_noise=args.rn, lmk_noise=args.ltn,
         av_depth_on=args.avdepth_on, av_depth=args.avdepth, seed=args.seed)
