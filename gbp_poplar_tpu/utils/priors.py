@@ -32,18 +32,42 @@ def prior_lambdas(
     host-style 2x9 reprojection Jacobian (reference: ba/dataio.cpp:76-116).
     Returns (cam_lam [C], lmk_lam [L]) scalar precisions.
     """
-    cam = jnp.asarray(problem.cam_means, dtype)[jnp.asarray(problem.cam_idx.astype(np.int32))]
-    lmk = jnp.asarray(problem.lmk_means, dtype)[jnp.asarray(problem.lmk_idx.astype(np.int32))]
     k = jnp.asarray(problem.k, dtype)
     intr = getattr(problem, "intrinsics", None)
-    intr_e = (None if intr is None else
-              jnp.asarray(intr, dtype)[jnp.asarray(
-                  problem.cam_idx.astype(np.int32))])
-    jac = projection.reproj_jacobian_local(cam, lmk, k, intr_e)  # [E, 2, 9]
-    max_abs = jnp.max(jnp.abs(jac), axis=(-2, -1))        # [E]
+    cam_all = jnp.asarray(problem.cam_means, dtype)
+    lmk_all = jnp.asarray(problem.lmk_means, dtype)
+    intr_all = None if intr is None else jnp.asarray(intr, dtype)
+    e = problem.n_edges
+    # Chunk the Jacobian pass: the [E, 2, 9] batched evaluation's XLA
+    # intermediates are ~50 f32 planes of E elements PER SMALL-MATRIX STEP
+    # in this (non-plane) layout — at 5M edges a single whole-E evaluation
+    # ran out of HBM (28 GB requested; the build-time wall found by the
+    # Venice-scale probe). One jitted chunk, reused E/chunk times.
+    chunk = 1 << 19
+    ci_np = problem.cam_idx.astype(np.int32)
+    li_np = problem.lmk_idx.astype(np.int32)
 
-    cam_ids = jnp.asarray(problem.cam_idx.astype(np.int32))
-    lmk_ids = jnp.asarray(problem.lmk_idx.astype(np.int32))
+    @jax.jit
+    def chunk_max(ci, li):
+        cam = cam_all[ci]
+        lmk = lmk_all[li]
+        intr_e = None if intr_all is None else intr_all[ci]
+        jac = projection.reproj_jacobian_local(cam, lmk, k, intr_e)
+        return jnp.max(jnp.abs(jac), axis=(-2, -1))       # [chunk]
+
+    if e <= chunk:
+        max_abs = chunk_max(jnp.asarray(ci_np), jnp.asarray(li_np))
+    else:
+        pad = (-e) % chunk
+        ci_p = np.pad(ci_np, (0, pad))
+        li_p = np.pad(li_np, (0, pad))
+        parts = [chunk_max(jnp.asarray(ci_p[o:o + chunk]),
+                           jnp.asarray(li_p[o:o + chunk]))
+                 for o in range(0, e + pad, chunk)]
+        max_abs = jnp.concatenate(parts)[:e]
+
+    cam_ids = jnp.asarray(ci_np)
+    lmk_ids = jnp.asarray(li_np)
     cam_max = jax.ops.segment_max(
         max_abs, cam_ids, num_segments=problem.n_keyframes
     )
