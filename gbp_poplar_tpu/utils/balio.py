@@ -70,10 +70,11 @@ def find_sequence(name: str) -> str:
     """Resolve a sequence name (e.g. 'fr1xyz') to a file path."""
     if os.path.exists(name):
         return name
-    fname = name if name.endswith(".txt") else name + ".txt"
+    suffixes = ("", ".txt", ".txt.bz2", ".txt.gz")
     for d in _SEQUENCE_DIRS:
-        if d and os.path.exists(os.path.join(d, fname)):
-            return os.path.join(d, fname)
+        for suf in suffixes:
+            if d and os.path.exists(os.path.join(d, name + suf)):
+                return os.path.join(d, name + suf)
     raise FileNotFoundError(
         f"sequence '{name}' not found in {_SEQUENCE_DIRS}; "
         "set GBP_SEQUENCES_DIR"
@@ -88,13 +89,26 @@ def _load_native(path: str) -> BAProblem | None:
     return balio_native.load(path)
 
 
+def _open_text(path: str):
+    """Open a BAL file, transparently decompressing by suffix — the
+    published BAL datasets (Ladybug, Venice, Final...) ship as
+    problem-*.txt.bz2 (the reference requires pre-decompressed files)."""
+    if path.endswith(".bz2"):
+        import bz2
+        return bz2.open(path, "rt")
+    if path.endswith(".gz"):
+        import gzip
+        return gzip.open(path, "rt")
+    return open(path)
+
+
 def _sniff_is_snavely(path: str) -> bool:
     """Cheap line-2 sniff: the TUM variant's second line is the shared
     intrinsics ``fx fy cx cy`` (floats, written with decimal points);
     original-BAL's second line is the first observation ``cam pt u v``
     with two bare integer indices. Ambiguous sniffs fall through to the
     exact token-count check in :func:`_from_tokens`."""
-    with open(path) as f:
+    with _open_text(path) as f:
         header = f.readline().split()
         second = f.readline().split()
     if len(header) < 3 or len(second) < 2:
@@ -112,8 +126,9 @@ def load_bal(path_or_name: str, use_native: bool = True) -> BAProblem:
     """Load a BAL-format file (TUM variant or original BAL) into a
     BAProblem. The format is auto-detected (see module docstring)."""
     path = find_sequence(path_or_name)
+    compressed = path.endswith((".bz2", ".gz"))
     snavely = _sniff_is_snavely(path)
-    if use_native and not snavely:
+    if use_native and not snavely and not compressed:
         # the native loader parses the TUM layout only (and is strict: it
         # fails on leftover tokens so non-TUM files fall through here)
         try:
@@ -125,7 +140,7 @@ def load_bal(path_or_name: str, use_native: bool = True) -> BAProblem:
     # read + split tokenises on any whitespace in one pass (np.fromfile
     # with sep=' ' deprecates — and will raise — on non-numeric trailing
     # data, which the strict token-count check below must see instead)
-    with open(path) as f:
+    with _open_text(path) as f:
         raw = f.read().split()
     try:
         tokens = np.asarray(raw, dtype=np.float64)

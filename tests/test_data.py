@@ -114,3 +114,23 @@ def test_init_noise_preserves_anchors(synthetic):
     out = priors.apply_init_noise(synthetic, cfg)
     np.testing.assert_allclose(out.cam_means[:2], synthetic.cam_means[:2])
     assert not np.allclose(out.cam_means[2:], synthetic.cam_means[2:])
+
+
+def test_load_compressed_bal(tmp_path):
+    """Published BAL datasets ship as problem-*.txt.bz2; the loader
+    decompresses transparently (the reference requires pre-decompressed
+    files) and autodetection still works through the compression."""
+    import bz2
+
+    from gbp_poplar_tpu.utils.balio import save_bal, synthetic_problem
+
+    prob = synthetic_problem(n_keyframes=4, n_points=20, seed=2)
+    plain = tmp_path / "seq.txt"
+    save_bal(str(plain), prob)
+    comp = tmp_path / "seq.txt.bz2"
+    comp.write_bytes(bz2.compress(plain.read_bytes()))
+    a = balio.load_bal(str(plain))
+    b = balio.load_bal(str(comp))
+    np.testing.assert_array_equal(a.cam_idx, b.cam_idx)
+    np.testing.assert_array_equal(a.measurements, b.measurements)
+    np.testing.assert_array_equal(a.cam_means, b.cam_means)
