@@ -37,8 +37,16 @@ class GBPConfig:
     # Damp Lambda messages with the same factor as eta. The reference damps
     # only eta (gbp_codelets.cpp:458-462 vs 618-627); damping both keeps each
     # message a consistent (eta, Lambda) pair (log-domain damped BP) and
-    # preserves PSD-ness.
-    lambda_damping: bool = False
+    # preserves PSD-ness. Default ON (round 4): eta-only damping leaves the
+    # Huber-storm oscillation on never-settling edge clusters fp32-bistable
+    # EVEN WITH drift recapture — the fr1desk default schedule was observed
+    # to storm (n_robust 158 -> 600+, final means non-finite) under one
+    # backend codegen and converge under another; with lambda damping the
+    # same run is monotone (1.376 px, n_robust flat, polish == GN MAP to 6
+    # digits; docs/VALIDATION.md). Costs ~27 extra vreg-ops/edge in the
+    # sweep. Reference-exact dynamics: lambda_damping=False,
+    # relin_drift_threshold=0.
+    lambda_damping: bool = True
     # Also relinearise when the belief mean has drifted more than this from
     # the stored linearisation point (runaway-edge recapture). <= 0 disables
     # (reference behaviour: quiescence-only relinearisation). Default ON:

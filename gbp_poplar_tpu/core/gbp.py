@@ -1037,6 +1037,49 @@ def iteration(
     return gbp_sweep(state, graph, cfg, axis_name, lmk_sharded)
 
 
+def _prior_quad(lam_planes, eta_planes, mu_planes, d):
+    """Gaussian prior quadratic 0.5 mu'Lam mu - eta'mu, summed over finite
+    variables (the prior mean's constant cancels in cost comparisons)."""
+    lam = pl.unpack_sym(lam_planes, d)
+    mu_rows = pl.unpack_vec(mu_planes, d)
+    eta_rows = pl.unpack_vec(eta_planes, d)
+    lam_mu = pl.matvec(lam, mu_rows)
+    val = 0.5 * pl.vdot(mu_rows, lam_mu) - pl.vdot(eta_rows, mu_rows)
+    return jnp.sum(jnp.where(jnp.isfinite(val), val, 0.0))
+
+
+def _cost_parts(
+    state: GBPState, graph: GBPGraph, cfg: GBPConfig,
+    mu_c_e: jax.Array, mu_l_e: jax.Array,
+    cam_mu: jax.Array, lmk_mu: jax.Array,
+    bad: jax.Array | None = None,
+):
+    """(robust data term, cam prior quad, lmk prior quad) of the MAP
+    objective at the given means — ``map_cost``'s body with the per-edge
+    gathers hoisted out, so chunk-boundary callers can price several
+    candidate mean shifts from ONE stacked gather per variable kind and
+    batch the cross-shard psums (the gathers are the dominant accel-step
+    cost at 1M+ edges: ~2 ms per take)."""
+    (u, v), _, _ = pl.project(
+        pl.unpack_vec(mu_c_e, 6), pl.unpack_vec(mu_l_e, 3), graph.k,
+        None if graph.intr is None else pl.unpack_vec(graph.intr, 3))
+    ru = graph.meas[0] - u
+    rv = graph.meas[1] - v
+    err2 = (ru * ru + rv * rv) / graph.meas_var
+    err = jnp.sqrt(err2)
+    k = cfg.huber_nstds
+    loss = jnp.where(err > k, k * err - 0.5 * k * k, 0.5 * err2)
+    ok = (state.active > 0)[None] & jnp.isfinite(loss)
+    if bad is not None:
+        ok = ok & ~bad[None]
+    robust = jnp.sum(jnp.where(ok, loss, 0.0))
+    cam_prior = _prior_quad(state.cam_prior_lam, state.cam_prior_eta,
+                            cam_mu, 6)
+    lmk_prior = _prior_quad(state.lmk_prior_lam, state.lmk_prior_eta,
+                            lmk_mu, 3)
+    return robust, cam_prior, lmk_prior
+
+
 def map_cost(
     state: GBPState, graph: GBPGraph, cfg: GBPConfig,
     axis_name: str | None = None, lmk_sharded: bool = False,
@@ -1054,30 +1097,8 @@ def map_cost(
     cam_mu, lmk_mu = _variable_means(state)
     mu_c = _edge_gather(cam_mu, graph.cam_idx, graph.cam_blocked, cfg)
     mu_l = _edge_gather(lmk_mu, graph.lmk_idx, graph.lmk_blocked, cfg)
-    (u, v), _, _ = pl.project(
-        pl.unpack_vec(mu_c, 6), pl.unpack_vec(mu_l, 3), graph.k,
-        None if graph.intr is None else pl.unpack_vec(graph.intr, 3))
-    ru = graph.meas[0] - u
-    rv = graph.meas[1] - v
-    err2 = (ru * ru + rv * rv) / graph.meas_var
-    err = jnp.sqrt(err2)
-    k = cfg.huber_nstds
-    loss = jnp.where(err > k, k * err - 0.5 * k * k, 0.5 * err2)
-    ok = (state.active > 0)[None] & jnp.isfinite(loss)
-    if bad is not None:
-        ok = ok & ~bad[None]
-    robust = jnp.sum(jnp.where(ok, loss, 0.0))
-
-    def quad(lam_planes, eta_planes, mu_planes, d):
-        lam = pl.unpack_sym(lam_planes, d)
-        mu_rows = pl.unpack_vec(mu_planes, d)
-        eta_rows = pl.unpack_vec(eta_planes, d)
-        lam_mu = pl.matvec(lam, mu_rows)
-        val = 0.5 * pl.vdot(mu_rows, lam_mu) - pl.vdot(eta_rows, mu_rows)
-        return jnp.sum(jnp.where(jnp.isfinite(val), val, 0.0))
-
-    cam_prior = quad(state.cam_prior_lam, state.cam_prior_eta, cam_mu, 6)
-    lmk_prior = quad(state.lmk_prior_lam, state.lmk_prior_eta, lmk_mu, 3)
+    robust, cam_prior, lmk_prior = _cost_parts(
+        state, graph, cfg, mu_c, mu_l, cam_mu, lmk_mu, bad)
     if axis_name is not None:
         # edges are always sharded; landmark priors only in map mode
         # (camera priors are replicated in both sharding modes)
@@ -1104,36 +1125,111 @@ def _active_degrees(state: GBPState, graph: GBPGraph,
     return degc, degl
 
 
-def _apply_mean_shift(
-    state: GBPState, graph: GBPGraph, cfg: GBPConfig,
-    dc_mu: jax.Array, dl_mu: jax.Array,
-    degs, axis_name: str | None, lmk_sharded: bool,
-) -> GBPState:
-    """Shift belief means by (dc_mu [6,C], dl_mu [3,L]) at fixed Lambda,
-    realised on the MESSAGE state: each variable's belief-eta correction
-    Lambda_v * dmu_v is split equally over its active incident messages, so
-    the refreshed belief hits the shifted mean exactly while the per-message
-    perturbation stays O(1/degree) and is relaxed by subsequent sweeps."""
+def _mean_shift_etas(state: GBPState, dc_mu: jax.Array, dl_mu: jax.Array,
+                     degs):
+    """Belief-eta corrections realising the mean shift (dc_mu [6,C],
+    dl_mu [3,L]) at fixed Lambda.
+
+    The shift is carried on the MESSAGE state (each variable's correction
+    Lambda_v * dmu_v split equally over its active incident messages, so
+    the per-message perturbation stays O(1/degree) and is relaxed by
+    subsequent sweeps); the belief picks up the full correction directly.
+    Non-finite correction components (transiently singular beliefs) are
+    dropped, and a variable with no active edges cannot carry a shift —
+    the realised mean shift is Sigma_v @ (masked deta).
+
+    NOTE: forcing relinearisation at the shifted means was tried and is
+    actively harmful (relin storms destabilise fr1desk); the sweep's own
+    lazy trigger recaptures once the jump re-quiesces.
+    """
     degc, degl = degs
     cam_deta = pl.pack_vec(pl.matvec(pl.unpack_sym(state.cam_lam, 6),
                                      pl.unpack_vec(dc_mu, 6)))
     lmk_deta = pl.pack_vec(pl.matvec(pl.unpack_sym(state.lmk_lam, 3),
                                      pl.unpack_vec(dl_mu, 3)))
-    cam_deta = jnp.where(jnp.isfinite(cam_deta), cam_deta, 0.0)
-    lmk_deta = jnp.where(jnp.isfinite(lmk_deta), lmk_deta, 0.0)
-    act = (state.active > 0).astype(cam_deta.dtype)[None]
+    cam_deta = jnp.where(jnp.isfinite(cam_deta) & (degc > 0)[None],
+                         cam_deta, 0.0)
+    lmk_deta = jnp.where(jnp.isfinite(lmk_deta) & (degl > 0)[None],
+                         lmk_deta, 0.0)
+    return cam_deta, lmk_deta
+
+
+def _cand_means(state: GBPState, cam_deta, lmk_deta, scale: float):
+    """Belief means of the shift candidate (eta + scale * deta at fixed
+    Lambda) — EXACTLY the means the applied candidate (_apply_shift) will
+    have, solved per variable (O(C+L)). Pricing the cost guard at these
+    means (rather than at the analytic mu + Sigma @ deta) keeps the
+    monotone-acceptance guarantee exact even for ill-conditioned beliefs
+    (desk-style Huber storms), where the analytic proxy can be off by far
+    more than rounding."""
+    cam = pl.pack_vec(pl.solve_sym(
+        pl.unpack_sym(state.cam_lam, 6),
+        pl.unpack_vec(state.cam_eta + scale * cam_deta, 6)))
+    lmk = pl.pack_vec(pl.matvec(
+        pl.inv_sym3(pl.unpack_sym(state.lmk_lam, 3)),
+        pl.unpack_vec(state.lmk_eta + scale * lmk_deta, 3)))
+    return cam, lmk
+
+
+def _shift_gather(graph: GBPGraph, cfg: GBPConfig, cam_groups, lmk_groups):
+    """ONE stacked gather per variable kind for a chunk-boundary shift
+    trial: per-edge rows of the current means, each candidate's exact
+    means, and the per-message eta-correction SHARES (deta/degree) —
+    everything the candidate costs AND the acceptance application need.
+    Replaces the six-plus separate takes (~2 ms each at 1M edges) the
+    round-3 accel step paid per chunk."""
+    gc = _edge_gather(jnp.concatenate(cam_groups),
+                      graph.cam_idx, graph.cam_blocked, cfg)
+    gl = _edge_gather(jnp.concatenate(lmk_groups),
+                      graph.lmk_idx, graph.lmk_blocked, cfg)
+    cs = [g.shape[0] for g in cam_groups]
+    ls = [g.shape[0] for g in lmk_groups]
+    co = [sum(cs[:i]) for i in range(len(cs) + 1)]
+    lo = [sum(ls[:i]) for i in range(len(ls) + 1)]
+    return ([gc[a:b] for a, b in zip(co, co[1:])],
+            [gl[a:b] for a, b in zip(lo, lo[1:])])
+
+
+def _msg_shares(cam_deta, lmk_deta, degs):
+    """Per-message eta-correction shares (deta/active-degree)."""
+    degc, degl = degs
     cshare = jnp.where(degc > 0, 1.0 / jnp.maximum(degc, 1.0), 0.0)[None]
     lshare = jnp.where(degl > 0, 1.0 / jnp.maximum(degl, 1.0), 0.0)[None]
-    cand = state._replace(
-        msg_c_eta=state.msg_c_eta + act * _edge_gather(
-            cam_deta * cshare, graph.cam_idx, graph.cam_blocked, cfg),
-        msg_l_eta=state.msg_l_eta + act * _edge_gather(
-            lmk_deta * lshare, graph.lmk_idx, graph.lmk_blocked, cfg))
-    # NOTE: forcing relinearisation at the shifted means was tried and is
-    # actively harmful (relin storms destabilise fr1desk); the sweep's own
-    # lazy trigger recaptures once the jump re-quiesces.
-    return update_beliefs(cand, graph, axis_name, lmk_sharded,
-                          _interpret(cfg))
+    return cam_deta * cshare, lmk_deta * lshare
+
+
+def _apply_shift(state: GBPState, dmsg_c, dmsg_l, cam_deta, lmk_deta,
+                 gain) -> GBPState:
+    """Apply ``gain`` times the shift: messages pick up their O(1/degree)
+    share of the eta correction (``dmsg_*`` are the gathered per-edge
+    shares), beliefs the full correction directly — the next sweep's
+    belief reduction re-establishes belief = prior + sum(messages) to fp
+    exactness. ``gain`` 0 must be an exact no-op (the traced-offset gated
+    path relies on it), hence the select."""
+    act = (state.active > 0).astype(cam_deta.dtype)[None]
+    live = gain > 0
+    upd = lambda old, d: jnp.where(live, old + gain * d, old)  # noqa: E731
+    return state._replace(
+        msg_c_eta=upd(state.msg_c_eta, act * dmsg_c),
+        msg_l_eta=upd(state.msg_l_eta, act * dmsg_l),
+        cam_eta=upd(state.cam_eta, cam_deta),
+        lmk_eta=upd(state.lmk_eta, lmk_deta))
+
+
+def _combine_costs(parts, axis_name: str | None, lmk_sharded: bool):
+    """Total each (robust, cam_prior, lmk_prior) triple into a cost vector,
+    psum-ing the sharded terms of ALL candidates in ONE collective (edges
+    are always sharded; landmark priors only in map mode; camera priors
+    are replicated in both sharding modes)."""
+    robust = jnp.stack([p[0] for p in parts])
+    lmk_prior = jnp.stack([p[2] for p in parts])
+    if axis_name is not None:
+        if lmk_sharded:
+            robust, lmk_prior = jax.lax.psum((robust, lmk_prior), axis_name)
+        else:
+            robust = jax.lax.psum(robust, axis_name)
+    cam_prior = jnp.stack([p[1] for p in parts])
+    return robust + cam_prior + lmk_prior
 
 
 def _coarse_step(
@@ -1148,25 +1244,46 @@ def _coarse_step(
     _accel_step so a chunk boundary evaluates each candidate once. ``live``
     (traced bool or None = statically live) folds the caller's
     accel-window gate into the acceptance, replacing a full-state select
-    outside."""
+    outside.
+
+    Both scale candidates are priced at their EXACT means (_cand_means:
+    the means the applied candidate will have) from one stacked gather
+    (_shift_gather) and the chosen scale is applied once (_apply_shift)
+    — no candidate state, belief re-reduction or full-state select is
+    materialised."""
     from . import coarse
 
     cam_mu, lmk_mu = _variable_means(state)
     d_cam, d_lmk = coarse.coarse_increment(
         state, graph, cfg, cam_mu, lmk_mu, axis_name, lmk_sharded)
-    best = state
-    best_cost = (map_cost(state, graph, cfg, axis_name, lmk_sharded)
-                 if cost is None else cost)
-    for scale in (1.0, 0.3):
-        cand = _apply_mean_shift(state, graph, cfg, scale * d_cam,
-                                 scale * d_lmk, degs, axis_name, lmk_sharded)
-        cost = map_cost(cand, graph, cfg, axis_name, lmk_sharded)
-        better = cost < best_cost
+    cam_deta, lmk_deta = _mean_shift_etas(state, d_cam, d_lmk, degs)
+    dmsg_c, dmsg_l = _msg_shares(cam_deta, lmk_deta, degs)
+    scales = (1.0, 0.3)
+    cands = [_cand_means(state, cam_deta, lmk_deta, s) for s in scales]
+    cg, lg = _shift_gather(
+        graph, cfg,
+        [cam_mu] + [c for c, _ in cands] + [dmsg_c],
+        [lmk_mu] + [l for _, l in cands] + [dmsg_l])
+    parts = []
+    if cost is None:
+        parts.append(_cost_parts(state, graph, cfg, cg[0], lg[0],
+                                 cam_mu, lmk_mu))
+    for i, (cand_c, cand_l) in enumerate(cands):
+        parts.append(_cost_parts(state, graph, cfg, cg[1 + i], lg[1 + i],
+                                 cand_c, cand_l))
+    costs = _combine_costs(parts, axis_name, lmk_sharded)
+    if cost is None:
+        best_cost, costs = costs[0], costs[1:]
+    else:
+        best_cost = cost
+    gain = jnp.zeros((), cam_mu.dtype)
+    for s, c in zip(scales, costs):
+        better = c < best_cost
         if live is not None:
             better = better & live
-        best = jax.tree.map(lambda a, b: jnp.where(better, a, b), cand, best)
-        best_cost = jnp.where(better, cost, best_cost)
-    return best
+        gain = jnp.where(better, jnp.asarray(s, cam_mu.dtype), gain)
+        best_cost = jnp.where(better, c, best_cost)
+    return _apply_shift(state, cg[-1], lg[-1], cam_deta, lmk_deta, gain)
 
 
 def _accel_step(
@@ -1183,19 +1300,26 @@ def _accel_step(
     lands near the extrapolated limit, and the correction vanishes at the
     fixed point (d -> 0), so the solver's fixed point is unchanged.
 
-    The jump is realised on the MESSAGE state (beliefs are derived): each
-    variable's belief-eta correction Lambda_v * g * dmu_v is split equally
-    over its active incident messages, so the refreshed belief hits the
-    extrapolated mean exactly while the per-message perturbation stays
-    O(1/degree) and is relaxed by subsequent sweeps. (Extrapolating raw
-    message deltas does NOT work: they are dominated by staggered
-    relinearisation jumps, not the smooth mode.)
+    The jump is realised on the eta state (_mean_shift_etas/_apply_shift):
+    each variable's belief-eta correction Lambda_v * g * dmu_v is split
+    equally over its active incident messages (so the per-message
+    perturbation stays O(1/degree) and is relaxed by subsequent sweeps)
+    and added to the belief directly — the next sweep's reduction
+    re-establishes belief = prior + sum(messages) exactly.
+    (Extrapolating raw message deltas does NOT work: they are dominated
+    by staggered relinearisation jumps, not the smooth mode.)
 
     Safety: the rate is estimated on camera-mean deltas (replicated under
     both sharding modes — no collective), trusted only when successive
     deltas are strongly aligned; the jump is trust-region capped; and the
     extrapolated state is only ACCEPTED if the on-device MAP cost does not
-    increase — acceleration is monotone in the objective.
+    increase — acceleration is monotone in the objective. Both costs are
+    priced from ONE stacked gather per variable kind at the candidate's
+    EXACT means (_cand_means — what _apply_shift realises; an analytic
+    mu + Sigma @ deta proxy was tried and measurably weakens the guard
+    for ill-conditioned beliefs) — the round-3 step's six takes,
+    candidate belief re-reduction and full-state acceptance select
+    (~27 ms/chunk of its ~34 ms at 1.09M edges, profiled) are gone.
 
     The displacement is measured between CHUNK-AVERAGED means (``avg``),
     not endpoint means: never-quiescing edge clusters superimpose an
@@ -1233,15 +1357,22 @@ def _accel_step(
     gain = gain * jnp.minimum(1.0, cfg.accel_max_step / jnp.maximum(
         step, 1e-30))
 
-    cand = _apply_mean_shift(state, graph, cfg, gain * dc_mu, gain * dl_mu,
-                             degs, axis_name, lmk_sharded)
-    cost_cand = map_cost(cand, graph, cfg, axis_name, lmk_sharded)
-    cost_cur = map_cost(state, graph, cfg, axis_name, lmk_sharded)
+    cam_deta, lmk_deta = _mean_shift_etas(state, gain * dc_mu,
+                                          gain * dl_mu, degs)
+    dmsg_c, dmsg_l = _msg_shares(cam_deta, lmk_deta, degs)
+    cam_mu, lmk_mu = _variable_means(state)
+    cand_c, cand_l = _cand_means(state, cam_deta, lmk_deta, 1.0)
+    cg, lg = _shift_gather(graph, cfg, [cam_mu, cand_c, dmsg_c],
+                           [lmk_mu, cand_l, dmsg_l])
+    cost_cur, cost_cand = _combine_costs(
+        [_cost_parts(state, graph, cfg, cg[0], lg[0], cam_mu, lmk_mu),
+         _cost_parts(state, graph, cfg, cg[1], lg[1], cand_c, cand_l)],
+        axis_name, lmk_sharded)
     better = cost_cand <= cost_cur
     if live is not None:
         better = better & live
-    accept = lambda a, b: jnp.where(better, a, b)   # noqa: E731
-    state = jax.tree.map(accept, cand, state)
+    g = jnp.where(better, jnp.ones((), cam_mu.dtype), 0.0)
+    state = _apply_shift(state, cg[2], lg[2], cam_deta, lmk_deta, g)
 
     # next chunk's averages are measured from the accepted state's frame:
     # shift the stored averages by the applied jump so the following delta
@@ -1447,9 +1578,10 @@ def run_gbp(
 
     # Static dead-chunk elision: with a static offset, chunks whose accel
     # step cannot fire (it_end < accel_start) run as PLAIN hot scans — the
-    # gated path would compute the full accel step (two map_costs, a
-    # mean-shift trial, a full-state select: ~34 ms/chunk at 1.09M edges)
-    # and discard it. Only the LAST dead chunk collects means, seeding
+    # gated path would compute the full accel step (stacked shift-trial
+    # gathers + two analytic cost evaluations, ~8 ms/chunk at 1.09M edges;
+    # ~34 ms before the round-4 restructure) and discard it. Only the
+    # LAST dead chunk collects means, seeding
     # `snap` exactly as the gated path would (its dmu entry stays zero
     # through dead chunks).
     static_off = isinstance(off2, int)

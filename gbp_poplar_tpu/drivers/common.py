@@ -71,7 +71,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lambda_damping", dest="lambda_damping",
                    action="store_true", default=None,
                    help="damp Lambda messages too (PSD-preserving; the "
-                        "reference damps only eta)")
+                        "reference damps only eta). DEFAULT ON: eta-only "
+                        "damping leaves Huber-storm oscillations "
+                        "fp32-bistable even with drift recapture "
+                        "(docs/VALIDATION.md); --no_lambda_damping opts "
+                        "out")
     p.add_argument("--no_lambda_damping", dest="lambda_damping",
                    action="store_false")
     p.add_argument("--rescue_iters", type=int, default=None,
@@ -115,7 +119,7 @@ def parse_bad_assoc(arg: str | None) -> list[int]:
 def config_from_args(
     args,
     default_relin_drift: float = 0.05,
-    default_lambda_damping: bool = False,
+    default_lambda_damping: bool = True,
     relin_behind_camera: bool = True,
     default_rescue_iters: int = 0,
     default_coarse_groups: int = 0,

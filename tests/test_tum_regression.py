@@ -65,14 +65,16 @@ def test_fr1xyz_short_budget_px():
 @requires_sequences
 def test_fr1desk_default_schedule_polishes_to_map():
     """fr1desk guard on the DEFAULT ba-driver schedule (drift recapture
-    0.05 + coarse 16): px at GN parity and LM-polish of the GBP point
-    lands on the exact MAP (measured 11381.66 vs GN 11381.69 under the CI
-    device flags). The raw-GBP basin is fp32-bistable on desk, and the
-    pure lazy schedule (relin_drift 0, no accel) outright DIVERGES under
-    this env's reduction order (2246 px at 1500 iters — the documented
-    bistability that makes drift recapture the default, config.py), so
-    the polished cost is the only CI-pinnable desk invariant. A schedule
-    drift that walks desk into a bad basin polishes +5.8% or multi-x."""
+    0.05 + coarse 16 + lambda damping): px at GN parity, NO late Huber
+    storm, and LM-polish of the GBP point lands on the exact MAP
+    (measured 1.376 px monotone / polished 11381.66 == GN under the CI
+    device flags). History: the eta-only-damped default was fp32-bistable
+    on desk — it converged under the round-3 codegen but STORMED under a
+    later one (n_robust 158 -> 600+ after iter ~1000, final means
+    non-finite, polish NaN; observed in round 4 on an unchanged solver),
+    and the pure lazy schedule diverges outright (2246 px). Lambda
+    damping (config.py default since round 4) removes the oscillation
+    mechanism rather than betting on rounding; docs/VALIDATION.md."""
     import jax.numpy as jnp
 
     from gbp_poplar_tpu.drivers.ba import _polish_problem
@@ -86,6 +88,9 @@ def test_fr1desk_default_schedule_polishes_to_map():
     errs = np.asarray(diag.reproj_err)
     assert np.isfinite(errs).all()
     assert errs[-1] < 2.5, errs[-1]          # GN parity (GN: 1.386 px)
+    # no Huber storm past the annealing transient (the bistable failure
+    # mode of the eta-only-damped schedule this test used to ride)
+    assert errs[200:].max() < 4.0, errs[200:].max()
 
     res_gn = gauss_newton.solve_problem(prob, cfg, n_lm_iters=25)
     from gbp_poplar_tpu.utils import analysis
