@@ -45,6 +45,14 @@ GUARD_PX = 3.0
 # ~30 ms dispatch constant amortises to ~0.3 us/sweep).
 LADYBUG_SHAPE = (1723, 156000, 7)   # keyframes, landmarks, obs/landmark
 LADYBUG_K = 100
+# BAL-Venice shape: the 5-obs/landmark density regime (wider landmark
+# windows per edge block than ladybug's 7 obs — the round-4 weak spot).
+# Short chain: at ~31 ms/sweep, K=30 amortises the ~30 ms dispatch
+# constant to ~1 us/sweep, and the guard bounds ns/edge so a regression
+# in the >1M-edge regime fails the bench (round-5 task).
+VENICE_SHAPE = (1778, 994000, 5)
+VENICE_K = 30
+VENICE_NS_PER_EDGE_GUARD = 7.5
 
 
 def _timed(fn, arg, reps=3):
@@ -156,6 +164,51 @@ def _bench_ladybug(k_sweeps):
     return ms, run_ms, graph.n_edges, err1
 
 
+def _bench_venice(k_sweeps):
+    """(ms/sweep, n_edges) on the 4.97M-edge BAL-Venice-density synthetic;
+    guards ns/edge <= VENICE_NS_PER_EDGE_GUARD and that the error moved
+    down (real solver, not a degenerate path)."""
+    import jax
+    import numpy as np
+
+    from gbp_poplar_tpu.config import GBPConfig
+    from gbp_poplar_tpu.core import build_graph, init_state, gbp
+    from gbp_poplar_tpu.utils import balio
+
+    cfg = GBPConfig()
+    prob = balio.synthetic_problem_large(*VENICE_SHAPE)
+    graph = build_graph(prob, cfg)
+    state = jax.jit(lambda s: gbp.initialise(s, graph, cfg))(
+        init_state(prob, cfg))
+    jax.block_until_ready(state)
+    err0, _ = jax.jit(lambda s: gbp.reprojection_error(s, graph))(state)
+    err0 = float(err0)
+
+    @jax.jit
+    def chain(st):
+        return jax.lax.scan(
+            lambda c, _: (gbp.gbp_sweep(c, graph, cfg), None),
+            st, None, length=k_sweeps)[0]
+
+    dt = _timed(chain, state, reps=2)
+    err1, _ = jax.jit(lambda s: gbp.reprojection_error(s, graph))(
+        chain(state))
+    err1 = float(err1)
+    ms = dt * 1e3 / k_sweeps
+    ns_edge = ms * 1e6 / graph.n_edges
+    print(f"venice: {graph.n_edges} edges, err {err0:.2f} -> {err1:.2f} px "
+          f"after {k_sweeps} sweeps, {ms:.3f} ms/sweep "
+          f"({ns_edge:.2f} ns/edge)", file=sys.stderr)
+    if not (np.isfinite(err1) and err1 < err0):
+        print(f"VENICE GUARD FAILED: err {err0} -> {err1}", file=sys.stderr)
+        sys.exit(1)
+    if not ns_edge <= VENICE_NS_PER_EDGE_GUARD:
+        print(f"VENICE PERF GUARD FAILED: {ns_edge:.2f} ns/edge "
+              f"> {VENICE_NS_PER_EDGE_GUARD}", file=sys.stderr)
+        sys.exit(1)
+    return ms, graph.n_edges
+
+
 def _bench_slam(seq, ibk):
     """(sweeps/s, final err) for an incremental SLAM run at the reference
     cadence (the reference's flagship demo, ba/slam.cpp): keyframes inserted
@@ -249,6 +302,11 @@ def main():
         extra["ladybug_run_gbp_ms_per_sweep"] = round(run_ms, 4)
         extra["ladybug_edges"] = int(n_edges)
         extra["ladybug_ns_per_edge"] = round(ms * 1e6 / n_edges, 3)
+        if os.environ.get("GBP_BENCH_VENICE", "1") != "0":
+            v_ms, v_edges = _bench_venice(VENICE_K)
+            extra["venice_ms_per_sweep"] = round(v_ms, 4)
+            extra["venice_edges"] = int(v_edges)
+            extra["venice_ns_per_edge"] = round(v_ms * 1e6 / v_edges, 3)
 
     print(json.dumps({
         "metric": f"gbp_sweeps_per_sec_{seq}",

@@ -101,6 +101,41 @@ def _prior_cost(cam, lmk, priors: GNPriors) -> jax.Array:
                   + jnp.sum(priors.lmk_lam[:, None] * dl * dl))
 
 
+def map_cost(cam, lmk, graph: GBPGraph, priors: GNPriors,
+             cfg: GBPConfig) -> jax.Array:
+    """The MAP objective both solvers optimise (robust reprojection +
+    Gaussian priors) at the given means — the cross-solver comparison
+    metric for docs/VALIDATION.md. Evaluated in _GN_CHUNK_EDGES-edge
+    chunks so it runs at >= 1M edges (the reference's cost print is
+    ba/ba.cpp:1022-1028)."""
+    e = graph.cam_idx.shape[0]
+    ce = min(_GN_CHUNK_EDGES, e)
+    n_ch = -(-e // ce)
+    e_pad = n_ch * ce
+    ci = _chunk_pad(graph.cam_idx, e_pad).reshape(n_ch, ce)
+    li = _chunk_pad(graph.lmk_idx, e_pad).reshape(n_ch, ce)
+    meas = _chunk_pad(graph.meas.T, e_pad).reshape(n_ch, ce, 2)
+    mvar = _chunk_pad(graph.meas_var, e_pad, 1.0).reshape(n_ch, ce)
+    valid = (jnp.arange(e_pad) < e).astype(cam.dtype).reshape(n_ch, ce)
+    intr = (None if graph.intr is None
+            else _chunk_pad(graph.intr.T, e_pad).reshape(n_ch, ce, 3))
+
+    def body(acc, xs):
+        ci_k, li_k, meas_k, mvar_k, val_k = xs[:5]
+        intr_k = xs[5] if len(xs) > 5 else None
+        r = meas_k - projection.project(cam[ci_k], lmk[li_k], graph.k,
+                                        intr_k)
+        err2 = jnp.sum(r * r, axis=-1) / mvar_k
+        err = jnp.sqrt(err2)
+        k = cfg.huber_nstds
+        loss = jnp.where(err > k, k * err - 0.5 * k * k, 0.5 * err2)
+        return acc + jnp.sum(loss * val_k), None
+
+    xs = (ci, li, meas, mvar, valid) + (() if intr is None else (intr,))
+    robust, _ = jax.lax.scan(body, jnp.zeros((), cam.dtype), xs)
+    return robust + _prior_cost(cam, lmk, priors)
+
+
 class _NormalEqs(NamedTuple):
     a_c: jax.Array      # [C, 6, 6] camera diag blocks (incl prior + LM damping)
     m_inv: jax.Array    # [L, 3, 3] inverted landmark blocks
@@ -110,28 +145,45 @@ class _NormalEqs(NamedTuple):
     s_diag_inv: jax.Array  # [C, 6, 6] inverse of exact S block diagonal
 
 
+# Edge-chunk size for the normal-equation build at large E. The [E, 6, 6]
+# batched block temporaries are the same non-plane-layout memory trap fixed
+# in utils/priors.build_priors (round 4): at 5M edges jtj_cc + wmw alone
+# request ~1.4 GB and the whole build several GB of HBM. Above this many
+# edges the build streams 512k-edge chunks through a lax.scan, accumulating
+# the per-variable segment sums in the carry — only the [E, 6, 3] cross
+# blocks (needed by every CG matvec) stay whole. Reduction order changes
+# (chunked partial sums), so small problems keep the single-shot path and
+# the pinned oracle numbers.
+_GN_CHUNK_EDGES = 1 << 19
+
+
 def _build(
     cam, lmk, graph: GBPGraph, priors: GNPriors, nstds: float,
     lm_lambda: jax.Array,
 ) -> _NormalEqs:
     c, l = graph.n_keyframes, graph.n_points
-    cam_e = cam[graph.cam_idx]
-    lmk_e = lmk[graph.lmk_idx]
-    intr_e = None if graph.intr is None else graph.intr.T     # [E, 3]
-    j_c, j_l = projection.reproj_jacobians(cam_e, lmk_e, graph.k, intr_e)
-    r = graph.meas.T - projection.project(cam_e, lmk_e, graph.k, intr_e)
-    w_e = _weights(r, graph.meas_var, nstds)[:, None, None]   # [E,1,1]
+    e = graph.cam_idx.shape[0]
+    if e > _GN_CHUNK_EDGES:
+        a_c, m_l, b_c, b_l, w_cl = _build_sums_chunked(
+            cam, lmk, graph, nstds)
+    else:
+        cam_e = cam[graph.cam_idx]
+        lmk_e = lmk[graph.lmk_idx]
+        intr_e = None if graph.intr is None else graph.intr.T  # [E, 3]
+        j_c, j_l = projection.reproj_jacobians(cam_e, lmk_e, graph.k, intr_e)
+        r = graph.meas.T - projection.project(cam_e, lmk_e, graph.k, intr_e)
+        w_e = _weights(r, graph.meas_var, nstds)[:, None, None]  # [E,1,1]
 
-    jtj_cc = linalg.bmm(linalg.transpose(j_c), j_c) * w_e     # [E,6,6]
-    jtj_ll = linalg.bmm(linalg.transpose(j_l), j_l) * w_e     # [E,3,3]
-    w_cl = linalg.bmm(linalg.transpose(j_c), j_l) * w_e       # [E,6,3]
-    jtr_c = linalg.bmv(linalg.transpose(j_c), r) * w_e[..., 0]
-    jtr_l = linalg.bmv(linalg.transpose(j_l), r) * w_e[..., 0]
+        jtj_cc = linalg.bmm(linalg.transpose(j_c), j_c) * w_e    # [E,6,6]
+        jtj_ll = linalg.bmm(linalg.transpose(j_l), j_l) * w_e    # [E,3,3]
+        w_cl = linalg.bmm(linalg.transpose(j_c), j_l) * w_e      # [E,6,3]
+        jtr_c = linalg.bmv(linalg.transpose(j_c), r) * w_e[..., 0]
+        jtr_l = linalg.bmv(linalg.transpose(j_l), r) * w_e[..., 0]
 
-    a_c = jax.ops.segment_sum(jtj_cc, graph.cam_idx, num_segments=c)
-    m_l = jax.ops.segment_sum(jtj_ll, graph.lmk_idx, num_segments=l)
-    b_c = jax.ops.segment_sum(jtr_c, graph.cam_idx, num_segments=c)
-    b_l = jax.ops.segment_sum(jtr_l, graph.lmk_idx, num_segments=l)
+        a_c = jax.ops.segment_sum(jtj_cc, graph.cam_idx, num_segments=c)
+        m_l = jax.ops.segment_sum(jtj_ll, graph.lmk_idx, num_segments=l)
+        b_c = jax.ops.segment_sum(jtr_c, graph.cam_idx, num_segments=c)
+        b_l = jax.ops.segment_sum(jtr_l, graph.lmk_idx, num_segments=l)
 
     eye6 = jnp.eye(6, dtype=cam.dtype)
     eye3 = jnp.eye(3, dtype=cam.dtype)
@@ -147,11 +199,98 @@ def _build(
     m_inv = linalg.inv3x3(m_l)
 
     # exact block diagonal of S: each (cam, lmk) pair occurs in one edge
-    wmw = linalg.bmm(w_cl, linalg.bmm(m_inv[graph.lmk_idx],
-                                      linalg.transpose(w_cl)))
-    s_diag = a_c - jax.ops.segment_sum(wmw, graph.cam_idx, num_segments=c)
+    if e > _GN_CHUNK_EDGES:
+        wmw_sum = _wmw_sum_chunked(w_cl, m_inv, graph, c)
+    else:
+        wmw = linalg.bmm(w_cl, linalg.bmm(m_inv[graph.lmk_idx],
+                                          linalg.transpose(w_cl)))
+        wmw_sum = jax.ops.segment_sum(wmw, graph.cam_idx, num_segments=c)
+    s_diag = a_c - wmw_sum
     s_diag_inv = linalg.inv6x6(s_diag)
     return _NormalEqs(a_c, m_inv, w_cl, b_c, b_l, s_diag_inv)
+
+
+def _chunk_pad(x, e_pad: int, fill=0):
+    pad = e_pad - x.shape[0]
+    if pad == 0:
+        return x
+    widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+def _build_sums_chunked(cam, lmk, graph: GBPGraph, nstds: float):
+    """Segment sums of the normal-equation blocks, streamed in
+    _GN_CHUNK_EDGES-edge chunks through a lax.scan so no [E, d, d] batched
+    temporary is ever materialised (28 GB at 5M edges unchunked — the
+    utils/priors.build_priors trap). Padding edges carry weight 0 and
+    index 0, contributing exactly nothing to every sum; the [E, 6, 3]
+    cross blocks are emitted per chunk and reshaped back (CG needs them
+    every matvec)."""
+    c, l = graph.n_keyframes, graph.n_points
+    e = graph.cam_idx.shape[0]
+    ce = _GN_CHUNK_EDGES
+    n_ch = -(-e // ce)
+    e_pad = n_ch * ce
+    ci = _chunk_pad(graph.cam_idx, e_pad).reshape(n_ch, ce)
+    li = _chunk_pad(graph.lmk_idx, e_pad).reshape(n_ch, ce)
+    meas = _chunk_pad(graph.meas.T, e_pad).reshape(n_ch, ce, 2)
+    mvar = _chunk_pad(graph.meas_var, e_pad, 1.0).reshape(n_ch, ce)
+    valid = (jnp.arange(e_pad) < e).astype(cam.dtype).reshape(n_ch, ce)
+    intr = (None if graph.intr is None
+            else _chunk_pad(graph.intr.T, e_pad).reshape(n_ch, ce, 3))
+
+    def body(carry, xs):
+        a_c, m_l, b_c, b_l = carry
+        ci_k, li_k, meas_k, mvar_k, val_k, intr_k = xs
+        cam_e = cam[ci_k]
+        lmk_e = lmk[li_k]
+        j_c, j_l = projection.reproj_jacobians(cam_e, lmk_e, graph.k, intr_k)
+        r = meas_k - projection.project(cam_e, lmk_e, graph.k, intr_k)
+        w_e = (_weights(r, mvar_k, nstds) * val_k)[:, None, None]
+        jtj_cc = linalg.bmm(linalg.transpose(j_c), j_c) * w_e
+        jtj_ll = linalg.bmm(linalg.transpose(j_l), j_l) * w_e
+        w_cl = linalg.bmm(linalg.transpose(j_c), j_l) * w_e
+        jtr_c = linalg.bmv(linalg.transpose(j_c), r) * w_e[..., 0]
+        jtr_l = linalg.bmv(linalg.transpose(j_l), r) * w_e[..., 0]
+        a_c = a_c + jax.ops.segment_sum(jtj_cc, ci_k, num_segments=c)
+        m_l = m_l + jax.ops.segment_sum(jtj_ll, li_k, num_segments=l)
+        b_c = b_c + jax.ops.segment_sum(jtr_c, ci_k, num_segments=c)
+        b_l = b_l + jax.ops.segment_sum(jtr_l, li_k, num_segments=l)
+        return (a_c, m_l, b_c, b_l), w_cl
+
+    f = cam.dtype
+    init = (jnp.zeros((c, 6, 6), f), jnp.zeros((l, 3, 3), f),
+            jnp.zeros((c, 6), f), jnp.zeros((l, 3), f))
+    xs = (ci, li, meas, mvar, valid) + ((intr,) if intr is not None else ())
+    if intr is None:
+        (a_c, m_l, b_c, b_l), w_cl = jax.lax.scan(
+            lambda cr, x: body(cr, x + (None,)), init, xs)
+    else:
+        (a_c, m_l, b_c, b_l), w_cl = jax.lax.scan(body, init, xs)
+    return a_c, m_l, b_c, b_l, w_cl.reshape(e_pad, 6, 3)[:e]
+
+
+def _wmw_sum_chunked(w_cl, m_inv, graph: GBPGraph, c: int):
+    """segment_sum(W M^-1 W^T) over cameras, chunked like the build (the
+    [E, 6, 6] wmw temporary is the largest single build buffer)."""
+    e = graph.cam_idx.shape[0]
+    ce = _GN_CHUNK_EDGES
+    n_ch = -(-e // ce)
+    e_pad = n_ch * ce
+    # padding cross blocks are zero -> zero contribution at index 0
+    w_p = _chunk_pad(w_cl, e_pad).reshape(n_ch, ce, 6, 3)
+    ci = _chunk_pad(graph.cam_idx, e_pad).reshape(n_ch, ce)
+    li = _chunk_pad(graph.lmk_idx, e_pad).reshape(n_ch, ce)
+
+    def body(acc, xs):
+        w_k, ci_k, li_k = xs
+        wmw = linalg.bmm(w_k, linalg.bmm(m_inv[li_k],
+                                         linalg.transpose(w_k)))
+        return acc + jax.ops.segment_sum(wmw, ci_k, num_segments=c), None
+
+    acc0 = jnp.zeros((c, 6, 6), w_cl.dtype)
+    acc, _ = jax.lax.scan(body, acc0, (w_p, ci, li))
+    return acc
 
 
 def _schur_matvec(ne: _NormalEqs, graph: GBPGraph, v: jax.Array) -> jax.Array:

@@ -1205,7 +1205,9 @@ def _apply_shift(state: GBPState, dmsg_c, dmsg_l, cam_deta, lmk_deta,
     shares), beliefs the full correction directly — the next sweep's
     belief reduction re-establishes belief = prior + sum(messages) to fp
     exactness. ``gain`` 0 must be an exact no-op (the traced-offset gated
-    path relies on it), hence the select."""
+    path relies on it), hence the select. ``gain`` must be >= 0: the
+    liveness gate is ``gain > 0``, so a negative (reversed) shift would
+    silently no-op rather than apply."""
     act = (state.active > 0).astype(cam_deta.dtype)[None]
     live = gain > 0
     upd = lambda old, d: jnp.where(live, old + gain * d, old)  # noqa: E731
@@ -1260,16 +1262,21 @@ def _coarse_step(
     dmsg_c, dmsg_l = _msg_shares(cam_deta, lmk_deta, degs)
     scales = (1.0, 0.3)
     cands = [_cand_means(state, cam_deta, lmk_deta, s) for s in scales]
+    # gather the CURRENT means only when the caller didn't price them
+    # (production always threads cost=...; keeping dead mu groups in the
+    # stacked gather wastes ~a quarter of its bytes per chunk boundary)
+    mu_groups = int(cost is None)
     cg, lg = _shift_gather(
         graph, cfg,
-        [cam_mu] + [c for c, _ in cands] + [dmsg_c],
-        [lmk_mu] + [l for _, l in cands] + [dmsg_l])
+        [cam_mu] * mu_groups + [c for c, _ in cands] + [dmsg_c],
+        [lmk_mu] * mu_groups + [l for _, l in cands] + [dmsg_l])
     parts = []
     if cost is None:
         parts.append(_cost_parts(state, graph, cfg, cg[0], lg[0],
                                  cam_mu, lmk_mu))
     for i, (cand_c, cand_l) in enumerate(cands):
-        parts.append(_cost_parts(state, graph, cfg, cg[1 + i], lg[1 + i],
+        parts.append(_cost_parts(state, graph, cfg,
+                                 cg[mu_groups + i], lg[mu_groups + i],
                                  cand_c, cand_l))
     costs = _combine_costs(parts, axis_name, lmk_sharded)
     if cost is None:

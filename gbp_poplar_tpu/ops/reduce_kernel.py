@@ -143,7 +143,11 @@ def build_blocked_index(
     # tiny block-axis segment-sum + w/128 static shifted adds — no big sort
     base = (lo // 128 * 128).astype(np.int32)       # lane-aligned
     span = int((hi - base + 1).max())
-    w = int(2 ** np.ceil(np.log2(max(span, 128))))  # pow2 >= 128
+    # Smallest 128-multiple covering the span (the grid combine only needs
+    # w % 128 == 0, not a power of two): at the BAL-Venice density the lmk
+    # span is 308 -> w 384 where pow2 rounding paid 512 — 25% of the
+    # kernel's W-dependent one-hot/MXU/DMA work for nothing (round 5).
+    w = max(-(-span // 128) * 128, 128)
     n_cells = -(-n_var // 128) + 1
     visited = np.zeros((n_cells,), bool)
     visited[np.minimum(base // 128, n_cells - 1)] = True
@@ -340,7 +344,7 @@ def build_fused_window(
             return b._replace(sub_w=min(sub_w, b.w))
     if n_var <= max_whole_table:
         n_blocks = -(-e_pad // block_edges)
-        w = int(2 ** np.ceil(np.log2(max(n_var, 128))))
+        w = max(-(-n_var // 128) * 128, 128)   # 128-multiple table
         return BlockedIndex(
             base=jnp.zeros((n_blocks,), jnp.int32),
             visited=jnp.ones((1,), bool),
@@ -411,7 +415,7 @@ def build_stacked_windows(
             sub_w=min(sub_w, int(w)))
     if n_var <= max_whole_table:
         n = len(shard_idx)
-        w = int(2 ** np.ceil(np.log2(max(n_var, 128))))
+        w = max(-(-n_var // 128) * 128, 128)   # 128-multiple table
         subs = [sub_window_capacity(np.asarray(ix), shard_len)
                 for ix in shard_idx if np.asarray(ix).size]
         sub_w = 0 if (subs and 0 in subs) else max(subs, default=0)

@@ -78,6 +78,9 @@ def main():
         elif n == "ladybug_snavely":
             bench(balio.synthetic_problem_large(1723, 156000, 7,
                                                 snavely=True), n, cfg, 100)
+        elif n == "venice":
+            bench(balio.synthetic_problem_large(1778, 994000, 5), n, cfg,
+                  50, production=production)
         elif n == "scale":
             for seq in ("fr2robot2", "fr1xyz", "fr1desk"):
                 try:

@@ -34,6 +34,10 @@ def main():
         prob = balio.synthetic_problem_large(1723, 156000, 7)
     elif name == "ladybug_snavely":
         prob = balio.synthetic_problem_large(1723, 156000, 7, snavely=True)
+    elif name == "venice":
+        # BAL-Venice shape: 5 obs/landmark (the density regime where the
+        # per-block landmark window doubles; docs/PERFORMANCE.md round 4)
+        prob = balio.synthetic_problem_large(1778, 994000, 5)
     else:
         prob = balio.load_bal(name)
     graph = build_graph(prob, cfg)

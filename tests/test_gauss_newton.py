@@ -109,3 +109,35 @@ def test_gn_matches_gbp_solution():
     err_gbp = float(np.asarray(diag.reproj_err)[-10:].mean())
 
     assert abs(err_gbp - err_gn) < 0.1, (err_gbp, err_gn)
+
+
+def test_chunked_build_matches_single_shot(monkeypatch):
+    """The streamed (lax.scan) normal-equation build must agree with the
+    whole-E build to reduction-order tolerance — it is what makes the GN
+    oracle (and gbp-ba --polish) runnable at >= 1M edges without the
+    [E, 6, 6] HBM trap (round-5 task; docs/VALIDATION.md)."""
+    problem = balio.synthetic_problem(n_keyframes=6, n_points=60, seed=0,
+                                      pixel_noise=0.5)
+    cfg = GBPConfig()
+    # f64 isolates the reduction-order change from fp32 cancellation noise
+    # (b_c sums near-cancelling ~1e2 terms; verified the fp32 delta is pure
+    # summation order by this same f64 comparison)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        graph, cam0, lmk0, pri = _setup(problem, cfg, jnp.float64)
+        lam = jnp.asarray(1e-4, jnp.float64)
+
+        ne_ref = gn._build(cam0, lmk0, graph, pri, cfg.huber_nstds, lam)
+        monkeypatch.setattr(gn, "_GN_CHUNK_EDGES", 64)  # force many chunks
+        ne_chk = gn._build(cam0, lmk0, graph, pri, cfg.huber_nstds, lam)
+
+        for a, b, name in zip(ne_ref, ne_chk, gn._NormalEqs._fields):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12, atol=1e-8, err_msg=name)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    # and the full fp32 LM solve still converges through the chunked path
+    graph32, cam32, lmk32, pri32 = _setup(problem, cfg, jnp.float32)
+    res = gn.solve_lm(cam32, lmk32, graph32, pri32, cfg, n_lm_iters=25)
+    assert float(np.asarray(res.reproj_err)[-1]) < 1.0

@@ -89,8 +89,13 @@ def test_fr1desk_default_schedule_polishes_to_map():
     assert np.isfinite(errs).all()
     assert errs[-1] < 2.5, errs[-1]          # GN parity (GN: 1.386 px)
     # no Huber storm past the annealing transient (the bistable failure
-    # mode of the eta-only-damped schedule this test used to ride)
-    assert errs[200:].max() < 4.0, errs[200:].max()
+    # mode of the eta-only-damped schedule this test used to ride).
+    # Cutoff = well past the prior-weakening window (2*cfg.steps = 10
+    # iters) plus the post-anneal settling observed under the default
+    # schedule (~100 iters on desk); if the default steps/weaken schedule
+    # ever stretches the transient past this, update it knowingly.
+    transient = max(200, 40 * cfg.steps)
+    assert errs[transient:].max() < 4.0, errs[transient:].max()
 
     res_gn = gauss_newton.solve_problem(prob, cfg, n_lm_iters=25)
     from gbp_poplar_tpu.utils import analysis

@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -170,3 +172,34 @@ def test_bad_associations_excluded(synthetic):
     import pytest
     with pytest.raises(ValueError):
         bad_edge_mask(synthetic, [synthetic.n_edges], cfg)
+
+
+@pytest.mark.slow
+def test_checkpoint_venice_scale(tmp_path):
+    """Multi-GB checkpoint at the synthetic-Venice shape (4.97M edges):
+    save the initialised state + graph, reload, and require every leaf
+    bit-identical (the resume-semantics equivalence is pinned at small
+    scale by test_checkpoint_roundtrip_and_resume; this exercises the IO
+    path — np.savez chunking, the .tmp/rename dance, >2 GB array entries —
+    at the scale the round-4 capacity work validated the solver at)."""
+    from gbp_poplar_tpu.utils import balio
+
+    prob = balio.synthetic_problem_large(1778, 994000, 5)
+    cfg = GBPConfig()
+    graph = build_graph(prob, cfg)
+    state = init_state(prob, cfg)
+    state = jax.jit(lambda s: gbp.initialise(s, graph, cfg))(state)
+    jax.block_until_ready(state)
+
+    path = str(tmp_path / "venice.npz")
+    checkpoint.save_checkpoint(path, state, graph, step=7, cfg=cfg)
+    assert os.path.getsize(path) > 2 * 2**30   # really multi-GB
+
+    state2, graph2, meta = checkpoint.load_checkpoint(path)
+    assert meta["step"] == 7
+    for f in type(state)._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(state, f)),
+                                      np.asarray(getattr(state2, f)),
+                                      err_msg=f)
+    np.testing.assert_array_equal(np.asarray(graph.cam_idx),
+                                  np.asarray(graph2.cam_idx))
