@@ -192,6 +192,16 @@ class GBPConfig:
     # sub_w > 0 for BOTH kinds (128-edge spans <= sub_w - 8; holds on all
     # TUM sequences and the Ladybug-shape synthetic — measured <= 63).
     pallas_subblock: bool = False
+    # Build the landmark premu belief table with the fused Pallas builder
+    # (ops/table_kernel.py) instead of the XLA mean-solve -> sanitize ->
+    # transpose -> zero-pad chain. "auto" = on the kernel path when the
+    # landmark table is at least pallas_table_build_min_rows rows (the XLA
+    # chain is ~3 ms/sweep of glue at L ~ 1M, round-5 profile; at small L
+    # it is microseconds and the kernel would only add a dispatch).
+    # Content is identical up to compiler FMA contraction — below the
+    # threshold the XLA path also serves as the bit-exact oracle.
+    pallas_table_build: bool | str = "auto"
+    pallas_table_build_min_rows: int = 64 * 1024
     # Carry beliefs through anneal-free sweeps as var-major TABLES (the
     # kernel's DMA layout) with a var-major reduction epilogue, instead of
     # plane arrays. Collapses the per-sweep XLA op count 53 -> 27, but

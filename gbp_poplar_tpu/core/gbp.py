@@ -591,10 +591,14 @@ def _interpret(cfg: GBPConfig) -> bool:
 
 def _win_table_rows(win, n_var: int) -> int:
     """Static row count for a var-major belief table the fused kernel can
-    window-DMA from (k == -1 marks whole-table windows)."""
+    window-DMA from (k == -1 marks whole-table windows). Grid-path rows
+    are rounded to a 1024-multiple so the fused table builder
+    (ops/table_kernel.py) can block them; the extra rows are dead weight
+    the windows never reach (<= 0.5 MB)."""
     if win.k == -1:
         return win.w
-    return -(-n_var // 128) * 128 + win.w
+    rows = -(-n_var // 128) * 128 + win.w
+    return -(-rows // 1024) * 1024
 
 
 def gbp_sweep(
@@ -694,9 +698,25 @@ def _sanitize_means(cam_mu: jax.Array, lmk_mu: jax.Array):
             cam_ok, lmk_ok)
 
 
+def _use_table_kernel(cfg: GBPConfig | None, lmk_rows: int,
+                      width: int) -> bool:
+    """Gate for the fused landmark-table builder (ops/table_kernel.py):
+    kernel path only, premu width, and a table big enough that the XLA
+    build chain's ~3 ms/sweep of glue (L ~ 1M, round-5 profile) outweighs
+    one extra kernel dispatch."""
+    if cfg is None or not _use_pallas(cfg) or width != 128:
+        return False
+    if lmk_rows % 1024 != 0:
+        return False
+    if cfg.pallas_table_build == "auto":
+        return lmk_rows >= cfg.pallas_table_build_min_rows
+    return bool(cfg.pallas_table_build)
+
+
 def _make_tables(
     state: GBPState, graph: GBPGraph, widths: tuple[int, int] = (128, 128),
     premu: bool = False, return_means: bool = False,
+    cfg: GBPConfig | None = None,
 ):
     """Beliefs in the fused kernel's var-major lane-padded table layout
     ([rows, 128]; cols 0..26 = cam eta|packed Lambda, 0..8 for landmarks).
@@ -720,21 +740,39 @@ def _make_tables(
     c, l = graph.n_keyframes, graph.n_points
     cam_rows = _win_table_rows(graph.cam_win, c)
     lmk_rows = _win_table_rows(graph.lmk_win, l)
+    fused_lmk = premu and _use_table_kernel(cfg, lmk_rows, widths[1])
     cam_cols = [state.cam_eta, state.cam_lam]
     lmk_cols = [state.lmk_eta, state.lmk_lam]
     used_c, used_l = 27, 9
     cam_mu_s = lmk_mu_s = None
     if premu:
-        cam_mu_s, lmk_mu_s, cam_ok, lmk_ok = _sanitize_means(
-            *_variable_means(state))
+        if fused_lmk:
+            # landmark side: the whole mean-solve -> sanitize -> transpose
+            # -> pad chain as ONE Pallas pass (ops/table_kernel.py); the
+            # O(C) camera side stays XLA (microseconds)
+            from ..ops.table_kernel import build_lmk_table
+            lmk_tbl, lmk_mu4 = build_lmk_table(
+                state.lmk_eta, state.lmk_lam, lmk_rows,
+                interpret=_interpret(cfg))
+            lmk_mu_s = lmk_mu4[:3, :l]
+            cam_mu = pl.pack_vec(pl.solve_sym(
+                pl.unpack_sym(state.cam_lam, 6),
+                pl.unpack_vec(state.cam_eta, 6)))
+            cam_ok = jnp.all(jnp.isfinite(cam_mu), axis=0, keepdims=True)
+            cam_mu_s = jnp.where(cam_ok, cam_mu, 0.0)
+        else:
+            cam_mu_s, lmk_mu_s, cam_ok, lmk_ok = _sanitize_means(
+                *_variable_means(state))
         f = state.cam_eta.dtype
         cam_cols += [cam_mu_s, cam_ok.astype(f)]
-        lmk_cols += [lmk_mu_s, lmk_ok.astype(f)]
+        if not fused_lmk:
+            lmk_cols += [lmk_mu_s, lmk_ok.astype(f)]
         used_c, used_l = 34, 13
     cam_tbl = jnp.pad(jnp.concatenate(cam_cols).T,
                       [(0, cam_rows - c), (0, widths[0] - used_c)])
-    lmk_tbl = jnp.pad(jnp.concatenate(lmk_cols).T,
-                      [(0, lmk_rows - l), (0, widths[1] - used_l)])
+    if not fused_lmk:
+        lmk_tbl = jnp.pad(jnp.concatenate(lmk_cols).T,
+                          [(0, lmk_rows - l), (0, widths[1] - used_l)])
     if return_means:
         return cam_tbl, lmk_tbl, cam_mu_s, lmk_mu_s
     return cam_tbl, lmk_tbl
@@ -856,7 +894,7 @@ def _gbp_sweep_fused(
     from ..ops.sweep_kernel import sweep_fused_pallas
 
     c, l = graph.n_keyframes, graph.n_points
-    cam_tbl, lmk_tbl = _make_tables(state, graph, premu=True)
+    cam_tbl, lmk_tbl = _make_tables(state, graph, premu=True, cfg=cfg)
 
     outs, cam_part, lmk_part = sweep_fused_pallas(
         _sweep_inputs(state, graph), cam_tbl, lmk_tbl,
@@ -900,7 +938,7 @@ def _gbp_sweep_fused_packed(
 
     c, l = graph.n_keyframes, graph.n_points
     cam_tbl, lmk_tbl, cam_mu_s, lmk_mu_s = _make_tables(
-        state, graph, premu=True, return_means=True)
+        state, graph, premu=True, return_means=True, cfg=cfg)
     pk, dc, rb, cam_part, lmk_part = sweep_fused_packed(
         pk, dc, rb, state.active, const_pack, cam_tbl, lmk_tbl,
         graph.cam_idx, graph.lmk_idx, graph.cam_win, graph.lmk_win,

@@ -27,8 +27,10 @@ from gbp_poplar_tpu.utils import balio
 
 
 def main():
-    name = sys.argv[1] if len(sys.argv) > 1 else "fr1xyz"
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    args = [a for a in sys.argv[1:] if a != "--production"]
+    production = "--production" in sys.argv
+    name = args[0] if args else "fr1xyz"
+    k = int(args[1]) if len(args) > 1 else 50
     cfg = GBPConfig()
     if name == "ladybug":
         prob = balio.synthetic_problem_large(1723, 156000, 7)
@@ -45,11 +47,18 @@ def main():
         init_state(prob, cfg))
     jax.block_until_ready(s)
 
-    @jax.jit
-    def run(x):
-        return jax.lax.scan(
-            lambda c, _: (gbp.gbp_sweep(c, graph, cfg), None),
-            x, None, length=k)[0]
+    if production:
+        # the chunked packed-carry hot loop with LIVE accel boundaries —
+        # what bench.py's run_gbp rows time
+        run = jax.jit(lambda x: gbp.run_gbp(
+            x, graph, cfg, k, with_diagnostics=False,
+            iter_offset=cfg.accel_start)[0])
+    else:
+        @jax.jit
+        def run(x):
+            return jax.lax.scan(
+                lambda c, _: (gbp.gbp_sweep(c, graph, cfg), None),
+                x, None, length=k)[0]
 
     jax.block_until_ready(run(s))          # compile outside the trace
     tmp = tempfile.mkdtemp(prefix="gbp_prof_")

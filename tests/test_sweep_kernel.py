@@ -12,6 +12,7 @@ import pytest
 
 from gbp_poplar_tpu.config import GBPConfig
 from gbp_poplar_tpu.core import build_graph, gbp, init_state
+from gbp_poplar_tpu.ops import planes as pl
 from gbp_poplar_tpu.utils import balio
 
 ON_TPU = jax.default_backend() == "tpu"
@@ -310,3 +311,61 @@ def test_subblock_sweep_matches_big_window(prob_grid):
                                        err_msg=f)
         else:
             np.testing.assert_array_equal(b, a, err_msg=f)
+
+
+def test_lmk_table_kernel_matches_xla():
+    """ops/table_kernel.build_lmk_table (interpreter) == the XLA
+    _make_tables landmark chain: same cols, same sanitized means, same
+    validity flags — including singular (zero-Lambda) and NaN-poisoned
+    beliefs."""
+    import jax.numpy as jnp
+
+    from gbp_poplar_tpu.ops.table_kernel import build_lmk_table
+
+    rng = np.random.default_rng(11)
+    l, rows = 1000, 1024
+    lam = rng.normal(0, 1, (6, l)).astype(np.float32)
+    lam[:3] += 3.0                            # mostly well-conditioned
+    eta = rng.normal(0, 1, (3, l)).astype(np.float32)
+    lam[:, 17] = 0.0                          # singular -> inf/nan mean
+    eta[0, 42] = np.nan                       # poisoned eta -> nan mean
+
+    eta_j, lam_j = jnp.asarray(eta), jnp.asarray(lam)
+    tbl, mu4 = build_lmk_table(eta_j, lam_j, rows, interpret=True)
+
+    # XLA oracle: exactly what _make_tables does on the landmark side
+    mu = pl.pack_vec(pl.matvec(pl.inv_sym3(pl.unpack_sym(lam_j, 3)),
+                               pl.unpack_vec(eta_j, 3)))
+    ok = jnp.all(jnp.isfinite(mu), axis=0, keepdims=True)
+    mu_s = jnp.where(ok, mu, 0.0)
+    cols = jnp.concatenate([eta_j, lam_j, mu_s, ok.astype(jnp.float32)])
+    ref = jnp.pad(cols.T, [(0, rows - l), (0, 128 - 13)])
+
+    t, r = np.asarray(tbl), np.asarray(ref)
+    # eta/lambda columns and the validity flag are pure copies: bit-exact
+    np.testing.assert_array_equal(t[:, :9], r[:, :9])
+    np.testing.assert_array_equal(t[:, 12:], r[:, 12:])
+    # mean columns: same expression, different fusion (brick layout).
+    # fp32 solve error amplifies with the 3x3 condition number (verified:
+    # the worst column here has cond 6e4 and kernel/XLA values straddle
+    # the f64 truth) — bound the deviation per column by cond * 32 ulps
+    conds = np.empty(l)
+    for i in range(l):
+        m = np.zeros((3, 3))
+        for s, (a, b) in enumerate(pl.SYM3_IDX):
+            m[a, b] = m[b, a] = lam[s, i]
+        conds[i] = np.linalg.cond(m.astype(np.float64)) if lam[:, i].any() \
+            else np.inf
+    tol = np.maximum(conds, 1e2) * 32 * np.finfo(np.float32).eps
+    dmu = np.abs(t[:l, 9:12] - r[:l, 9:12]) / (1.0 + np.abs(r[:l, 9:12]))
+    viol = np.nan_to_num(dmu.max(axis=1)) > tol
+    assert not viol.any(), np.flatnonzero(viol)[:5]
+    dmu4 = (np.abs(np.asarray(mu4[:3, :l]) - np.asarray(mu_s))
+            / (1.0 + np.abs(np.asarray(mu_s))))
+    viol4 = np.nan_to_num(dmu4.max(axis=0)) > tol
+    assert not viol4.any(), np.flatnonzero(viol4)[:5]
+    np.testing.assert_array_equal(np.asarray(mu4[3, :l]),
+                                  np.asarray(ok[0]).astype(np.float32))
+    assert not np.asarray(tbl)[:, 13:].any()   # pad lanes stay zero
+    ok_np = np.asarray(ok[0])
+    assert not ok_np[17] and not ok_np[42] and ok_np.sum() > 990
