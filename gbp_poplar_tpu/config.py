@@ -202,6 +202,13 @@ class GBPConfig:
     # threshold the XLA path also serves as the bit-exact oracle.
     pallas_table_build: bool | str = "auto"
     pallas_table_build_min_rows: int = 64 * 1024
+    # Double-buffer the fused kernel's belief-table window DMAs: each base
+    # change is DMA-started one grid step early into the alternate half of
+    # the window scratch, hiding the fetch latency behind the previous
+    # block's compute. Matters most at low obs/landmark where the landmark
+    # base changes EVERY block (Venice shape: 4854 synchronous ~200 KB
+    # fetches per sweep without it).
+    pallas_window_prefetch: bool = True
     # Carry beliefs through anneal-free sweeps as var-major TABLES (the
     # kernel's DMA layout) with a var-major reduction epilogue, instead of
     # plane arrays. Collapses the per-sweep XLA op count 53 -> 27, but

@@ -296,15 +296,24 @@ def combine_grid_var(grid: jax.Array, bidx: BlockedIndex,
     combine at small problem sizes disappear (~10 dispatched ops/sweep).
     """
     nc, w, lanes = grid.shape
+
+    def fit(x):
+        # the belief-table row count is rounded up to a 1024-multiple
+        # (core/gbp._win_table_rows) and may exceed the grid's natural
+        # (nc + m) * 128 extent on small problems — pad with zero rows
+        if x.shape[0] < rows:
+            return jnp.pad(x, [(0, rows - x.shape[0]), (0, 0)])
+        return x[:rows]
+
     g = jnp.where(bidx.visited[:, None, None], grid, 0.0)
     if bidx.k == -1:                         # whole-table window
-        return g[0, :rows]
+        return fit(g[0])
     m = w // 128
     acc = jnp.zeros(((nc + m) * 128, lanes), jnp.float32)
     for j in range(m):
         chunk = g[:, j * 128:(j + 1) * 128, :].reshape(nc * 128, lanes)
         acc = acc.at[j * 128:j * 128 + nc * 128].add(chunk)
-    return acc[:rows]
+    return fit(acc)
 
 
 def combine_grid_any(grid: jax.Array, bidx: BlockedIndex, n_var: int,

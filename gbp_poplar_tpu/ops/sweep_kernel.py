@@ -184,6 +184,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _slot_parity(base: jax.Array) -> jax.Array:
+    """Per-block double-buffer slot for the window prefetch: cumulative
+    count of base changes mod 2 (slot 0 for block 0; flips on every
+    change). Computed with jnp so it works on per-shard base slices
+    inside shard_map."""
+    changes = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        (base[1:] != base[:-1]).astype(jnp.int32)])
+    return jnp.cumsum(changes).astype(jnp.int32) % 2
+
+
 # ---------------------------------------------------------------------------
 # Fully-fused sweep: in-kernel windowed one-hot gather prologue + reduction
 # epilogue. Per edge block the kernel DMAs the [W, 128] windows of the
@@ -262,7 +273,8 @@ def _dot3(v, oh, dims, oh_first=False, single_pass=False):
 
 def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
                   interp: bool, has_intr: bool, premu: bool, packed: bool,
-                  subw: tuple, cam_base_ref, lmk_base_ref,
+                  subw: tuple, prefetch: bool,
+                  cam_base_ref, lmk_base_ref, cam_slot_ref, lmk_slot_ref,
                   k_ref, cam_idx_ref, lmk_idx_ref, cam_tbl_ref, lmk_tbl_ref,
                   *refs):
     from ..core.gbp import EDGE_MATH_INPUTS, edge_math
@@ -270,6 +282,7 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
     dot3 = functools.partial(_dot3, single_pass=interp)
     n_in = len(EDGE_MATH_INPUTS) - 2            # bc/bl come from the tables
     i = plx.program_id(0)
+    nb = cam_base_ref.shape[0]
     c0 = cam_base_ref[i]
     l0 = lmk_base_ref[i]
     sub_mode = subw[0] > 0
@@ -288,24 +301,74 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
     prev = jnp.maximum(i - 1, 0)
     first_c = (i == 0) | (cam_base_ref[i] != cam_base_ref[prev])
     first_l = (i == 0) | (lmk_base_ref[i] != lmk_base_ref[prev])
-    scr = refs[len(refs) - 4:]
-    cwin, lwin, sem_c, sem_l = scr
-    refs = refs[:len(refs) - 4]
+    scr = refs[len(refs) - 6:]
+    cwin, lwin, sem_c, sem_c1, sem_l, sem_l1 = scr
+    refs = refs[:len(refs) - 6]
+
+    def window(first, base_ref, slot_ref, tbl_ref, win, sem0, sem1, w):
+        """Resident-window management for one variable kind.
+
+        Without ``prefetch``: synchronous fetch on base change (the
+        round-3 scheme). With it: DOUBLE-BUFFERED — each base change was
+        DMA-started one grid step EARLIER into the alternate half of the
+        scratch (slot parity precomputed host-side as cumulative changes
+        mod 2), so the fetch latency hides behind the previous block's
+        compute instead of stalling the gather. At 5 obs/landmark the
+        landmark base changes EVERY block — 4854 synchronous ~200 KB
+        fetches per sweep at the Venice shape. Returns the traced row
+        offset of the live window inside the scratch."""
+        if not prefetch:
+            @plx.when(first)
+            def _():
+                dma = pltpu.make_async_copy(
+                    tbl_ref.at[plx.ds(base_ref[i], w), :], win, sem0)
+                dma.start()
+                dma.wait()
+            return 0
+
+        slot = slot_ref[i]
+
+        def copy(tgt_off, sem, base_val):
+            return pltpu.make_async_copy(
+                tbl_ref.at[plx.ds(base_val, w), :],
+                win.at[plx.ds(tgt_off, w), :], sem)
+
+        @plx.when(i == 0)
+        def _():                         # first block: synchronous, slot 0
+            dma = copy(0, sem0, base_ref[i])
+            dma.start()
+            dma.wait()
+
+        @plx.when((i > 0) & first)
+        def _():                         # prefetched at i-1: just wait
+            @plx.when(slot == 0)
+            def _():
+                copy(0, sem0, base_ref[i]).wait()
+
+            @plx.when(slot == 1)
+            def _():
+                copy(w, sem1, base_ref[i]).wait()
+
+        nxt = jnp.minimum(i + 1, nb - 1)
+        base_nxt = base_ref[nxt]
+
+        @plx.when(base_nxt != base_ref[i])   # false at the last block
+        def _():                         # start next block's fetch now
+            @plx.when(slot == 1)
+            def _():
+                copy(0, sem0, base_nxt).start()
+
+            @plx.when(slot == 0)
+            def _():
+                copy(w, sem1, base_nxt).start()
+
+        return slot * w
 
     def inner():
-        @plx.when(first_c)
-        def _():
-            dma_c = pltpu.make_async_copy(
-                cam_tbl_ref.at[plx.ds(c0, wc), :], cwin, sem_c)
-            dma_c.start()
-            dma_c.wait()
-
-        @plx.when(first_l)
-        def _():
-            dma_l = pltpu.make_async_copy(
-                lmk_tbl_ref.at[plx.ds(l0, wl), :], lwin, sem_l)
-            dma_l.start()
-            dma_l.wait()
+        coff = window(first_c, cam_base_ref, cam_slot_ref, cam_tbl_ref,
+                      cwin, sem_c, sem_c1, wc)
+        loff = window(first_l, lmk_base_ref, lmk_slot_ref, lmk_tbl_ref,
+                      lwin, sem_l, sem_l1, wl)
 
         # gather: [W, width] window x [W, BE] one-hot -> [width, BE]
         # (exact: each output column is a single product value * 1.0; _dot3
@@ -339,17 +402,17 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
             nsub = be // 128
             wsc, wsl = subw
 
-            def sub_gather(idx_ref, base0, ws, w, win, ncols):
+            def sub_gather(idx_ref, base0, ws, w, win, woff, ncols):
                 outs = []
                 for j in range(nsub):
                     oh, off = sub_oh(idx_ref, base0, ws, w, j)
-                    wj = win[plx.ds(off, ws), :]            # [ws, 128]
+                    wj = win[plx.ds(woff + off, ws), :]     # [ws, 128]
                     outs.append(dot3(wj[:, :ncols], oh,
                                      (((0,), (0,)), ((), ()))))
                 return jnp.concatenate(outs, axis=1)        # [ncols, be]
 
-            gc = sub_gather(cam_idx_ref, c0, wsc, wc, cwin, ncc)
-            gl = sub_gather(lmk_idx_ref, l0, wsl, wl, lwin, ncl)
+            gc = sub_gather(cam_idx_ref, c0, wsc, wc, cwin, coff, ncc)
+            gl = sub_gather(lmk_idx_ref, l0, wsl, wl, lwin, loff, ncl)
         else:
             oh_c = jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, (wc, be), 0) + c0
@@ -357,8 +420,12 @@ def _fused_kernel(cfg: GBPConfig, sub: int, wc: int, wl: int, var_major: bool,
             oh_l = jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, (wl, be), 0) + l0
                 == lmk_idx_ref[...], 1.0, 0.0).astype(jnp.float32)
-            cw = cwin[...] if cwin.shape[-1] <= ncc else cwin[:, :ncc]
-            lw = lwin[...] if lwin.shape[-1] <= ncl else lwin[:, :ncl]
+            cw_all = (cwin[plx.ds(coff, wc), :] if prefetch
+                      else cwin[...])
+            lw_all = (lwin[plx.ds(loff, wl), :] if prefetch
+                      else lwin[...])
+            cw = cw_all if cwin.shape[-1] <= ncc else cw_all[:, :ncc]
+            lw = lw_all if lwin.shape[-1] <= ncl else lw_all[:, :ncl]
             gc = dot3(cw, oh_c, (((0,), (0,)), ((), ())))
             gl = dot3(lw, oh_l, (((0,), (0,)), ((), ())))
         bc, bl = gc[:27], gl[:9]
@@ -563,8 +630,9 @@ def sweep_fused_pallas(
                                  memory_space=pltpu.VMEM)
         return spec(x.shape)
 
+    prefetch = bool(cfg.pallas_window_prefetch)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(nb,),
         in_specs=([plx.BlockSpec(memory_space=pltpu.SMEM),    # intrinsics
                    idx_spec(ci), idx_spec(li),
@@ -573,16 +641,23 @@ def sweep_fused_pallas(
                   + [spec(x.shape) for x in prepped]),
         out_specs=([spec(s.shape) for s in out_shapes[:-2]]
                    + [plx.BlockSpec((1,) + out_shapes[-2].shape[1:],
-                                    lambda i, cb, lb: (cb[i] // 128, 0, 0),
+                                    lambda i, cb, lb, *_: (cb[i] // 128,
+                                                           0, 0),
                                     memory_space=pltpu.VMEM),
                       plx.BlockSpec((1,) + out_shapes[-1].shape[1:],
-                                    lambda i, cb, lb: (lb[i] // 128, 0, 0),
+                                    lambda i, cb, lb, *_: (lb[i] // 128,
+                                                           0, 0),
                                     memory_space=pltpu.VMEM)]),
         # window buffers as SCRATCH (persists across grid steps) so blocks
-        # sharing a window base skip the re-fetch (see _fused_kernel)
+        # sharing a window base skip the re-fetch; doubled for the
+        # prefetch double-buffer (see _fused_kernel.window)
         scratch_shapes=[
-            pltpu.VMEM((cam_win.w, cam_tbl.shape[-1]), jnp.float32),
-            pltpu.VMEM((lmk_win.w, lmk_tbl.shape[-1]), jnp.float32),
+            pltpu.VMEM(((1 + prefetch) * cam_win.w, cam_tbl.shape[-1]),
+                       jnp.float32),
+            pltpu.VMEM(((1 + prefetch) * lmk_win.w, lmk_tbl.shape[-1]),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -599,17 +674,19 @@ def sweep_fused_pallas(
     outs = plx.pallas_call(
         functools.partial(_fused_kernel, cfg, sub, cam_win.w, lmk_win.w,
                           var_major, bool(interpret), intr is not None,
-                          bool(premu), False, subw),
+                          bool(premu), False, subw, prefetch),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         cost_estimate=cost,
         interpret=interpret,
         # In-place update of the 14 per-edge state arrays (see
         # sweep_edge_math_pallas): kills the per-sweep result->carry
-        # copies in the solver's scan. Operand indices include the two
+        # copies in the solver's scan. Operand indices include the four
         # scalar-prefetch arrays and (k, ci, li, cam_tbl, lmk_tbl).
-        input_output_aliases={9 + i: i for i in range(14)},
-    )(cam_win.base, lmk_win.base, k, ci, li, cam_tbl, lmk_tbl, *prepped)
+        input_output_aliases={11 + i: i for i in range(14)},
+    )(cam_win.base, lmk_win.base,
+      _slot_parity(cam_win.base), _slot_parity(lmk_win.base),
+      k, ci, li, cam_tbl, lmk_tbl, *prepped)
 
     outs = list(outs)
     cam_part, lmk_part = outs[-2], outs[-1]
@@ -690,8 +767,9 @@ def sweep_fused_packed(
                                  memory_space=pltpu.VMEM)
         return spec(x.shape)
 
+    prefetch = bool(cfg.pallas_window_prefetch)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(nb,),
         in_specs=[plx.BlockSpec(memory_space=pltpu.SMEM),     # intrinsics
                   idx_spec(ci), idx_spec(li),
@@ -701,14 +779,20 @@ def sweep_fused_packed(
                   spec(dc_p.shape), spec(rb_p.shape), spec(act_p.shape)],
         out_specs=([spec(s.shape) for s in out_shapes[:3]]
                    + [plx.BlockSpec((1,) + out_shapes[3].shape[1:],
-                                    lambda i, cb, lb: (cb[i] // 128, 0, 0),
+                                    lambda i, cb, lb, *_: (cb[i] // 128,
+                                                           0, 0),
                                     memory_space=pltpu.VMEM),
                       plx.BlockSpec((1,) + out_shapes[4].shape[1:],
-                                    lambda i, cb, lb: (lb[i] // 128, 0, 0),
+                                    lambda i, cb, lb, *_: (lb[i] // 128,
+                                                           0, 0),
                                     memory_space=pltpu.VMEM)]),
         scratch_shapes=[
-            pltpu.VMEM((cam_win.w, cam_tbl.shape[-1]), jnp.float32),
-            pltpu.VMEM((lmk_win.w, lmk_tbl.shape[-1]), jnp.float32),
+            pltpu.VMEM(((1 + prefetch) * cam_win.w, cam_tbl.shape[-1]),
+                       jnp.float32),
+            pltpu.VMEM(((1 + prefetch) * lmk_win.w, lmk_tbl.shape[-1]),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -723,16 +807,17 @@ def sweep_fused_packed(
     outs = plx.pallas_call(
         functools.partial(_fused_kernel, cfg, sub, cam_win.w, lmk_win.w,
                           False, bool(interpret), bool(has_intr),
-                          True, True, subw),
+                          True, True, subw, prefetch),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         cost_estimate=cost,
         interpret=interpret,
-        # in-place update of the packed carry: operands are
-        # (2 prefetch, k, ci, li, cam_tbl, lmk_tbl, const, pk, dc, rb, act)
-        input_output_aliases={8: 0, 9: 1, 10: 2},
-    )(cam_win.base, lmk_win.base, k, ci, li, cam_tbl, lmk_tbl,
-      const_p, pk_p, dc_p, rb_p, act_p)
+        # in-place update of the packed carry: operands are (4 prefetch,
+        # k, ci, li, cam_tbl, lmk_tbl, const, pk, dc, rb, act)
+        input_output_aliases={10: 0, 11: 1, 12: 2},
+    )(cam_win.base, lmk_win.base,
+      _slot_parity(cam_win.base), _slot_parity(lmk_win.base),
+      k, ci, li, cam_tbl, lmk_tbl, const_p, pk_p, dc_p, rb_p, act_p)
 
     pk_o, dc_o, rb_o, cam_part, lmk_part = outs
     if pad:
