@@ -368,6 +368,18 @@ def synthetic_problem_snavely(
     )
 
 
+def _rodrigues(w: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Batched axis-angle rotation R(w) y (NumPy; rows of w and y pair up).
+    R y = y cos(t) + (axis x y) sin(t) + axis (axis . y)(1 - cos(t))."""
+    theta = np.linalg.norm(w, axis=1, keepdims=True)
+    theta = np.where(theta < 1e-12, 1e-12, theta)
+    axis = w / theta
+    ct, st = np.cos(theta), np.sin(theta)
+    cross = np.cross(axis, y)
+    dot = np.sum(axis * y, axis=1, keepdims=True)
+    return y * ct + cross * st + axis * dot * (1 - ct)
+
+
 def synthetic_problem_large(
     n_keyframes: int = 1723,
     n_points: int = 156_000,
@@ -401,15 +413,29 @@ def synthetic_problem_large(
                          np.full(n_keyframes, -0.3),
                          np.full(n_keyframes, 0.1)], axis=1)
 
-    # landmark l lives near the cameras that see it
+    # Landmark l must be IN VIEW of the cameras that see it: sample a
+    # sensor pixel + a depth and back-project through the anchor pose
+    # (y = R^T (y_cf - t)). The pre-round-5 placement added the anchor's
+    # TRANSLATION x to the landmark — but under this convention the
+    # camera center is -R^T t, so camera and "its" landmarks drifted
+    # ~2 t_x apart: at 1723 keyframes that is ~69 units at 4-8 depth,
+    # a grazing-geometry problem whose conditioning degrades with chain
+    # length (the 1.09M-edge solve plateaued at 14 px under EVERY
+    # schedule while the 200-kf shape converged — root-caused round 5).
     anchor = (np.arange(n_points) * max(1, n_keyframes - obs_per_lmk)
               // max(1, n_points - 1)).astype(np.int64)
     anchor = np.minimum(anchor, n_keyframes - obs_per_lmk)
-    zsign = -1.0 if snavely else 1.0
-    pts = np.empty((n_points, 3))
-    pts[:, 0] = cams[anchor, 0] + rng.uniform(-2, 2, n_points)
-    pts[:, 1] = rng.uniform(-2, 2, n_points)
-    pts[:, 2] = zsign * rng.uniform(4, 8, n_points)
+    zdepth = rng.uniform(4, 8, n_points)
+    if snavely:
+        pu = rng.uniform(-0.35, 0.35, n_points)
+        pv = rng.uniform(-0.25, 0.25, n_points)
+        y_cf0 = np.stack([pu * zdepth, pv * zdepth, -zdepth], 1)
+    else:
+        pu = rng.uniform(0.15 * 2 * cx, 0.85 * 2 * cx, n_points)
+        pv = rng.uniform(0.15 * 2 * cy, 0.85 * 2 * cy, n_points)
+        y_cf0 = np.stack([(pu - cx) / fx * zdepth,
+                          (pv - cy) / fy * zdepth, zdepth], 1)
+    pts = _rodrigues(-cams[anchor, 3:], y_cf0 - cams[anchor, :3])
 
     # edges: landmark l observed by keyframes anchor..anchor+obs-1
     lmk_idx = np.repeat(np.arange(n_points, dtype=np.uint32), obs_per_lmk)
@@ -418,17 +444,7 @@ def synthetic_problem_large(
 
     # vectorised projection (batched Rodrigues via the JAX ops would pull in
     # a device; keep it NumPy)
-    w = cams[cam_idx, 3:]
-    theta = np.linalg.norm(w, axis=1, keepdims=True)
-    theta = np.where(theta < 1e-12, 1e-12, theta)
-    axis = w / theta
-    ct, st = np.cos(theta), np.sin(theta)
-    y = pts[lmk_idx]
-    # Rodrigues: R y = y ct + (axis x y) st + axis (axis.y)(1-ct)
-    cross = np.cross(axis, y)
-    dot = np.sum(axis * y, axis=1, keepdims=True)
-    y_rot = y * ct + cross * st + axis * dot * (1 - ct)
-    y_cf = y_rot + cams[cam_idx, :3]
+    y_cf = _rodrigues(cams[cam_idx, 3:], pts[lmk_idx]) + cams[cam_idx, :3]
     if snavely:
         z = np.minimum(y_cf[:, 2], -1e-3)
         f_e, k1_e, k2_e = intr[cam_idx].T

@@ -112,11 +112,16 @@ def build_priors(
     lmk_prior_lam = diag3[:, None] * lmk_lam_s[None, :]
 
     anchor = jnp.arange(problem.n_keyframes) < cfg.num_anchor_cams
+    # steps == 0 disables annealing entirely (scaling 1 -> priors stay at
+    # build strength); the reference always anneals, but the schedule knob
+    # must not divide by zero when turned off
+    inv_steps = 1.0 / cfg.steps if cfg.steps else 0.0
     anchor_scaling = jnp.exp(
-        -1.0 / cfg.steps * jnp.log(cam_lam_s * cfg.first_cam_prior_std**2)
+        -inv_steps * jnp.log(cam_lam_s * cfg.first_cam_prior_std**2)
     )
     weak_scaling = jnp.exp(
-        jnp.asarray(-2.0 / cfg.steps * np.log(cfg.prior_std_weaker_factor), dtype)
+        jnp.asarray(-2.0 * inv_steps * np.log(cfg.prior_std_weaker_factor),
+                    dtype)
     )
     cam_scaling = jnp.where(anchor, anchor_scaling, weak_scaling).astype(dtype)
     lmk_scaling = jnp.full((problem.n_points,), weak_scaling, dtype)
