@@ -277,19 +277,28 @@ class _SingleChip:
         from functools import partial
         self._graph = graph
         self._cfg_steps = cfg.steps
-        self.initialise = jax.jit(lambda s: gbp.initialise(s, graph, cfg))
+        # The state flows LINEARLY through the driver (each call rebinds
+        # it), so donate it: XLA then writes the output state into the
+        # input buffers instead of holding both copies live — at 8M edges
+        # that is ~3.5 GiB of the 15.75 GiB chip (the un-donated peak was
+        # 13.4 GiB, scripts/memory_ledger.py round 5). Never reuse a state
+        # after passing it to these.
+        self.initialise = jax.jit(lambda s: gbp.initialise(s, graph, cfg),
+                                  donate_argnums=0)
         # n and warm static (program structure), offset traced (only feeds
         # the accel_start comparison — no recompile per chunk position).
         # verbose stacks per-iteration cam means into the diagnostics
         # (--v; the reference's per-iteration belief stream)
-        self._run = partial(jax.jit, static_argnums=(1, 3))(
+        self._run = partial(jax.jit, static_argnums=(1, 3),
+                            donate_argnums=0)(
             lambda s, n, off, warm: gbp.run_gbp(
                 s, graph, cfg, n, iter_offset=off, warm=warm,
                 verbose_means=verbose))
         # variant with the Snavely intrinsics as a TRACED operand so the
         # driver's block-coordinate refit (--refine_intrinsics) swaps them
         # between chunks without recompiling
-        self._run_intr = partial(jax.jit, static_argnums=(1, 3))(
+        self._run_intr = partial(jax.jit, static_argnums=(1, 3),
+                                 donate_argnums=0)(
             lambda s, n, off, warm, it: gbp.run_gbp(
                 s, graph._replace(intr=it), cfg, n, iter_offset=off,
                 warm=warm, verbose_means=verbose))

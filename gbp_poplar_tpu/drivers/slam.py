@@ -58,10 +58,16 @@ class _SingleChipSlam:
         import jax
 
         from ..core import gbp
-        self.initialiser = jax.jit(lambda s: gbp.initialise(s, graph, cfg))
-        self.runner = jax.jit(lambda s: gbp.run_gbp(s, graph, cfg, ibk))
+        # the state flows linearly through solve_slam (each call rebinds
+        # it), so donate it — halves the resident state at large maps
+        # (see drivers/ba._SingleChip and scripts/memory_ledger.py)
+        self.initialiser = jax.jit(lambda s: gbp.initialise(s, graph, cfg),
+                                   donate_argnums=0)
+        self.runner = jax.jit(lambda s: gbp.run_gbp(s, graph, cfg, ibk),
+                              donate_argnums=0)
         self.inserter = jax.jit(
-            lambda s, k: slam.insert_keyframe(s, graph, cfg, k, av_depth))
+            lambda s, k: slam.insert_keyframe(s, graph, cfg, k, av_depth),
+            donate_argnums=0)
         self.graph = graph
 
     def prep(self, state):

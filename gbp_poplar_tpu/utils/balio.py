@@ -406,7 +406,17 @@ def synthetic_problem_large(
     cams[:, 0] = np.linspace(0.0, 0.02 * n_keyframes, n_keyframes)
     cams[:, 1] = rng.normal(0, 0.05, n_keyframes)
     cams[:, 2] = rng.normal(0, 0.05, n_keyframes)
-    cams[:, 3:] = rng.normal(0, 0.02, (n_keyframes, 3))
+    # Orientations drift SMOOTHLY (random walk), not independently: under
+    # the y_cf = R y + t convention the rotation lever arm is |t| (~50
+    # units at 2500 kf), so independent N(0, 0.02) per-camera rotations
+    # displace a shared landmark by ~|dw| * |t| ~ 1.5 units between
+    # neighbouring views — deeper than the 4-8 sampling depth, putting a
+    # tail of landmarks BEHIND their non-anchor observers, whose clamped
+    # projections then make the generated measurements astronomically
+    # inconsistent (oracle err 7.7 px at 10M edges, round-5 find). A
+    # 0.002/step walk keeps neighbour deltas ~0.004 rad while still
+    # exercising the full rotation DOF over the trajectory.
+    cams[:, 3:] = np.cumsum(rng.normal(0, 0.002, (n_keyframes, 3)), axis=0)
     intr = None
     if snavely:
         intr = np.stack([rng.uniform(450.0, 550.0, n_keyframes),

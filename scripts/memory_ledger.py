@@ -80,14 +80,18 @@ def main():
     print(f"\npytrees total: {(g_total + s_total) / 2**30:.3f} GiB "
           f"({(g_total + s_total) / e:.1f} B/edge)")
 
+    # donate the state exactly as the drivers do (drivers/ba._SingleChip):
+    # the output state writes into the input buffers, so the plan below is
+    # the driver-realistic one (without donation the un-aliased 8M peak
+    # was 13.36 GiB: args 4.54 + outputs 4.54 + temps 4.87)
     if production:
         run = jax.jit(lambda s: gbp.run_gbp(
             s, graph, cfg, 8, with_diagnostics=False,
-            iter_offset=cfg.accel_start)[0])
+            iter_offset=cfg.accel_start)[0], donate_argnums=0)
     else:
         run = jax.jit(lambda s: jax.lax.scan(
             lambda c_, _: (gbp.gbp_sweep(c_, graph, cfg), None),
-            s, None, length=8)[0])
+            s, None, length=8)[0], donate_argnums=0)
     lowered = run.lower(state)
     compiled = lowered.compile()
     ma = compiled.memory_analysis()

@@ -70,10 +70,19 @@ def main():
           f"{float(res_p.reproj_err[-1]):.4f} px, cost {pol_cost:.2f}",
           flush=True)
 
-    # --- cold GN baseline ---
+    # --- cold GN baseline (chunked dispatches: a single ~300 s jit call
+    # trips the axon tunnel's RPC deadline at this scale — two runs died
+    # with "UNAVAILABLE: TPU device error" at 40 LM iters in one dispatch
+    # while the 15-iter polish survived; 10-iter chunks stay well under) --
     t0 = time.perf_counter()
-    res_g = gn.solve_problem(prob, cfg, n_lm_iters=40)
-    jax.block_until_ready(res_g.cam)
+    cam_g, lmk_g = jnp.asarray(prob.cam_means), jnp.asarray(prob.lmk_means)
+    lam0 = 1e-4
+    for _ in range(4):
+        res_g = gn.solve_lm(cam_g, lmk_g, graph1, pri, cfg,
+                            n_lm_iters=10, lambda0=lam0)
+        jax.block_until_ready(res_g.cam)
+        cam_g, lmk_g = res_g.cam, res_g.lmk
+        lam0 = float(res_g.lm_lambda)
     dt_g = time.perf_counter() - t0
     gn_cost = float(np.asarray(res_g.cost)[-1])
     ate = evaluation.ate_rmse(cam_mu, np.asarray(res_g.cam))
