@@ -47,12 +47,14 @@ LADYBUG_SHAPE = (1723, 156000, 7)   # keyframes, landmarks, obs/landmark
 LADYBUG_K = 100
 # BAL-Venice shape: the 5-obs/landmark density regime (wider landmark
 # windows per edge block than ladybug's 7 obs — the round-4 weak spot).
-# Short chain: at ~31 ms/sweep, K=30 amortises the ~30 ms dispatch
+# Short chain: at ~18 ms/sweep, K=30 amortises the ~30 ms dispatch
 # constant to ~1 us/sweep, and the guard bounds ns/edge so a regression
-# in the >1M-edge regime fails the bench (round-5 task).
+# in the >1M-edge regime fails the bench (round-5 task). Guard = the
+# measured raw-chain 5.9 ns/edge (post window-prefetch) + axon wobble
+# margin; the production run_gbp path is faster still (3.6 ns/edge).
 VENICE_SHAPE = (1778, 994000, 5)
 VENICE_K = 30
-VENICE_NS_PER_EDGE_GUARD = 7.5
+VENICE_NS_PER_EDGE_GUARD = 7.0
 
 
 def _timed(fn, arg, reps=3):

@@ -70,6 +70,7 @@ def _edge_gather(src: jax.Array, idx: jax.Array, bidx,
 def update_beliefs(
     state: GBPState, graph: GBPGraph, axis_name: str | None = None,
     lmk_sharded: bool = False, interpret: bool = False,
+    use_pallas: bool = True,
 ) -> GBPState:
     """belief = prior + sum of incoming messages (scatter-add over edges).
 
@@ -94,14 +95,18 @@ def update_beliefs(
         # one-hot rows of padded edges are all-zero, so padding stays inert
         cam_sum = jnp.matmul(cam_planes, graph.cam_onehot,
                              precision=jax.lax.Precision.HIGHEST)  # [27, C]
-    elif graph.cam_blocked is not None:
+    elif (use_pallas or interpret) and graph.cam_blocked is not None:
+        # the blocked one-hot reduce is a Pallas kernel: only when the
+        # kernel path (or its interpreter) is live — a CPU-backend run of
+        # a >BLOCKED_REDUCE_MIN_EDGES graph must fall through to
+        # segment_sum, not crash in pallas_call (round-5 fix)
         from ..ops.reduce_kernel import blocked_reduce
         cam_sum = blocked_reduce(cam_planes, graph.cam_idx,
                                  graph.cam_blocked, c, interpret=interpret)
     else:
         cam_sum = jax.ops.segment_sum(cam_planes.T, graph.cam_idx,
                                       num_segments=c).T            # [27, C]
-    if graph.lmk_blocked is not None:
+    if (use_pallas or interpret) and graph.lmk_blocked is not None:
         from ..ops.reduce_kernel import blocked_reduce
         lmk_sum = blocked_reduce(lmk_planes, graph.lmk_idx,
                                  graph.lmk_blocked, l, interpret=interpret)
@@ -684,7 +689,7 @@ def gbp_sweep(
 
     # --- belief update (reduce) ---
     return update_beliefs(state, graph, axis_name, lmk_sharded,
-                          _interpret(cfg))
+                          _interpret(cfg), use_pallas=use_pallas)
 
 
 def _sanitize_means(cam_mu: jax.Array, lmk_mu: jax.Array):
@@ -1047,7 +1052,7 @@ def initialise(
     """WRITE + LINEARISE: beliefs <- priors, then linearise every factor
     (reference: ba/ba.cpp:982-987)."""
     state = update_beliefs(state, graph, axis_name, lmk_sharded,
-                           _interpret(cfg))
+                           _interpret(cfg), use_pallas=_use_pallas(cfg))
     return linearise_all(state, graph, cfg)
 
 

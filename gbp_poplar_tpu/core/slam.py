@@ -138,7 +138,8 @@ def insert_keyframe(
     # Refresh beliefs with the new priors (NEW_KEYFRAME runs prog_ub,
     # slam.cpp:946-948), then linearise the just-activated factors at them.
     state = gbp.update_beliefs(state, graph, axis_name, lmk_sharded,
-                               gbp._interpret(cfg))
+                               gbp._interpret(cfg),
+                               use_pallas=gbp._use_pallas(cfg))
     return gbp.relinearise_masked(state, graph, cfg, newly_active)
 
 
