@@ -136,6 +136,282 @@ def map_cost(cam, lmk, graph: GBPGraph, priors: GNPriors,
     return robust + _prior_cost(cam, lmk, priors)
 
 
+# ---------------------------------------------------------------------------
+# Plane-major large-E path.
+#
+# The batched [E, d, d] formulation above is fine at TUM scale but is the
+# repo's canonical layout trap at millions of edges: TPU tiles the two
+# minor dims to (8, 128), so an [E, 6, 3] buffer expands ~28x (a 10 GB
+# allocation for 360 MB of data at the Venice shape — measured from the
+# OOM dump, round 5) and even [L, 3] landmark arrays pad 3 -> 128 lanes.
+# Above _GN_CHUNK_EDGES the solver switches to the plane layout the rest
+# of the framework uses ([comp, N], edge axis minor), with the per-edge
+# normal-equation blocks produced by ops/planes.linearise — the SAME
+# single-source Jacobian/Huber code the GBP sweep kernel runs, so the two
+# solvers share their linearisation to the expression level. Per-edge
+# work streams in chunks; only [comp, E]/[comp, L] planes and [C, *]
+# arrays (C is always small) persist.
+# ---------------------------------------------------------------------------
+
+
+class _EdgeChunks(NamedTuple):
+    """Static edge-chunking of the graph for the plane-major path."""
+
+    n_ch: int
+    ce: int
+    ci: jax.Array      # [n_ch, ce]
+    li: jax.Array      # [n_ch, ce]
+    meas: jax.Array    # [n_ch, 2, ce]
+    mvar: jax.Array    # [n_ch, ce]
+    valid: jax.Array   # [n_ch, ce]
+    intr: jax.Array | None   # [n_ch, 3, ce]
+
+
+def _edge_chunks(graph: GBPGraph, dtype) -> _EdgeChunks:
+    e = graph.cam_idx.shape[0]
+    ce = min(_GN_CHUNK_EDGES, e)
+    n_ch = -(-e // ce)
+    e_pad = n_ch * ce
+    return _EdgeChunks(
+        n_ch=n_ch, ce=ce,
+        ci=_chunk_pad(graph.cam_idx, e_pad).reshape(n_ch, ce),
+        li=_chunk_pad(graph.lmk_idx, e_pad).reshape(n_ch, ce),
+        meas=_chunk_pad(graph.meas.T, e_pad).reshape(n_ch, ce, 2)
+        .transpose(0, 2, 1),
+        mvar=_chunk_pad(graph.meas_var, e_pad, 1.0).reshape(n_ch, ce),
+        valid=(jnp.arange(e_pad) < e).astype(dtype).reshape(n_ch, ce),
+        intr=(None if graph.intr is None else
+              _chunk_pad(graph.intr.T, e_pad).reshape(n_ch, ce, 3)
+              .transpose(0, 2, 1)),
+    )
+
+
+def _ck_xs(ck: _EdgeChunks):
+    xs = (ck.ci, ck.li, ck.meas, ck.mvar, ck.valid)
+    return xs + (() if ck.intr is None else (ck.intr,))
+
+
+class _NormalEqsP(NamedTuple):
+    a_c: jax.Array        # [C, 6, 6] damped camera blocks (C is small)
+    m_inv6: jax.Array     # [6, L] packed symmetric landmark inverses
+    w18: jax.Array        # [n_ch, 18, ce] cross blocks, chunk-major
+    b_c: jax.Array        # [C, 6]
+    b_l3: jax.Array       # [3, L]
+    s_diag_inv: jax.Array  # [C, 6, 6]
+
+
+def _sym21_dense(a21: jax.Array) -> jax.Array:
+    """[C, 21] packed symmetric -> [C, 6, 6] dense (C-sized: cheap)."""
+    from ..ops import planes as pl
+    c = a21.shape[0]
+    out = jnp.zeros((c, 6, 6), a21.dtype)
+    for s, (i, j) in enumerate(pl.SYM6_IDX):
+        out = out.at[:, i, j].set(a21[:, s])
+        if i != j:
+            out = out.at[:, j, i].set(a21[:, s])
+    return out
+
+
+def _build_planes(
+    camT, lmkT, graph: GBPGraph, priors: GNPriors, nstds: float,
+    lm_lambda: jax.Array, ck: _EdgeChunks,
+) -> _NormalEqsP:
+    """Normal equations in plane layout, streamed per chunk.
+
+    ``camT`` [6, C] / ``lmkT`` [3, L] are the current means as planes.
+    Per-edge blocks come from ops/planes.linearise (eta = J^T W (J x0 +
+    r0) at the linearisation point x0 = current means, so the GN rhs is
+    b = eta - Lambda @ x0 exactly)."""
+    from ..ops import planes as pl
+    c, l = graph.n_keyframes, graph.n_points
+
+    def body(carry, xs):
+        a21, m_l6, b_c6, b_l3 = carry
+        ci_k, li_k, meas_k, mvar_k, val_k = xs[:5]
+        intr_k = xs[5] if len(xs) > 5 else None
+        mu_c = [camT[i][ci_k] for i in range(6)]
+        mu_l = [lmkT[i][li_k] for i in range(3)]
+        intr_rows = None if intr_k is None else [intr_k[i] for i in range(3)]
+        (eta_c, eta_l, lam_cc, lam_cl, lam_ll, _rob, _ycf) = pl.linearise(
+            mu_c, mu_l, graph.k, meas_k[0], meas_k[1], mvar_k, nstds,
+            intr_rows)
+        b_c_rows = [eta_c[i]
+                    - sum(lam_cc[i][j] * mu_c[j] for j in range(6))
+                    - sum(lam_cl[i][j] * mu_l[j] for j in range(3))
+                    for i in range(6)]
+        b_l_rows = [eta_l[j]
+                    - sum(lam_cl[i][j] * mu_c[i] for i in range(6))
+                    - sum(lam_ll[j][j2] * mu_l[j2] for j2 in range(3))
+                    for j in range(3)]
+
+        def seg(rows, ids, n):
+            cols = jnp.stack(rows, axis=-1) * val_k[:, None]
+            return jax.ops.segment_sum(cols, ids, num_segments=n)
+
+        a21 = a21 + seg([lam_cc[i][j] for (i, j) in pl.SYM6_IDX], ci_k, c)
+        m_l6 = m_l6 + seg([lam_ll[i][j] for (i, j) in pl.SYM3_IDX],
+                          li_k, l).T
+        b_c6 = b_c6 + seg(b_c_rows, ci_k, c)
+        b_l3 = b_l3 + seg(b_l_rows, li_k, l).T
+        w_k = jnp.stack([lam_cl[i][j] for i in range(6) for j in range(3)])
+        return (a21, m_l6, b_c6, b_l3), w_k * val_k[None]
+
+    f = camT.dtype
+    init = (jnp.zeros((c, 21), f), jnp.zeros((6, l), f),
+            jnp.zeros((c, 6), f), jnp.zeros((3, l), f))
+    (a21, m_l6, b_c, b_l3), w18 = jax.lax.scan(body, init, _ck_xs(ck))
+
+    # priors + LM damping (additive Marquardt), then invert the landmark
+    # blocks in plane form
+    a_c = _sym21_dense(a21)
+    eye6 = jnp.eye(6, dtype=f)
+    a_c = a_c + priors.cam_lam[:, None, None] * eye6
+    damp = 1.0 + lm_lambda
+    a_c = a_c * jnp.where(eye6 > 0, damp, 1.0)
+    b_c = b_c + priors.cam_lam[:, None] * (priors.cam_mu - camT.T)
+
+    diag3 = [pl.sym_slot(i, i) for i in range(3)]
+    m_l6 = m_l6.at[jnp.asarray(diag3)].add(priors.lmk_lam[None, :])
+    m_l6 = m_l6.at[jnp.asarray(diag3)].multiply(damp)
+    b_l3 = b_l3 + priors.lmk_lam[None, :] * (priors.lmk_mu.T - lmkT)
+    m_inv6 = pl.pack_sym(pl.inv_sym3(pl.unpack_sym(m_l6, 3)), 3)
+
+    # exact S block diagonal, chunked: wmw = W M^-1 W^T per edge
+    def wbody(acc, xs):
+        w_k, ci_k, li_k = xs
+        mv_g = m_inv6[:, li_k]                   # [6, ce] gathered slots
+        mv = [[mv_g[pl.sym_slot(i, j)] for j in range(3)]
+              for i in range(3)]
+        w_m = [[w_k[i * 3 + j] for j in range(3)] for i in range(6)]
+        t = [[sum(w_m[i][k2] * mv[k2][j] for k2 in range(3))
+              for j in range(3)] for i in range(6)]
+        rows = [sum(t[i][j2] * w_m[j][j2] for j2 in range(3))
+                for (i, j) in pl.SYM6_IDX]
+        return acc + jax.ops.segment_sum(jnp.stack(rows, -1), ci_k,
+                                         num_segments=c), None
+
+    acc0 = jnp.zeros((c, 21), f)
+    wmw21, _ = jax.lax.scan(wbody, acc0, (w18, ck.ci, ck.li))
+    s_diag = a_c - _sym21_dense(wmw21)
+    return _NormalEqsP(a_c, m_inv6, w18, b_c, b_l3,
+                       linalg.inv6x6(s_diag))
+
+
+def _wt_v_l3(ne: _NormalEqsP, ck: _EdgeChunks, v: jax.Array,
+             l: int) -> jax.Array:
+    """W^T v summed per landmark -> [3, L] (v: [C, 6])."""
+    vT = v.T
+
+    def body(acc, xs):
+        w_k, ci_k, li_k = xs
+        ve = [vT[i][ci_k] for i in range(6)]
+        rows = [sum(w_k[i * 3 + j] * ve[i] for i in range(6))
+                for j in range(3)]
+        return acc + jax.ops.segment_sum(jnp.stack(rows, -1), li_k,
+                                         num_segments=l).T, None
+
+    acc0 = jnp.zeros((3, l), v.dtype)
+    out, _ = jax.lax.scan(body, acc0, (ne.w18, ck.ci, ck.li))
+    return out
+
+
+def _w_z_c6(ne: _NormalEqsP, ck: _EdgeChunks, z3: jax.Array,
+            c: int) -> jax.Array:
+    """W z summed per camera -> [C, 6] (z3: [3, L])."""
+
+    def body(acc, xs):
+        w_k, ci_k, li_k = xs
+        ze = [z3[j][li_k] for j in range(3)]
+        rows = [sum(w_k[i * 3 + j] * ze[j] for j in range(3))
+                for i in range(6)]
+        return acc + jax.ops.segment_sum(jnp.stack(rows, -1), ci_k,
+                                         num_segments=c), None
+
+    acc0 = jnp.zeros((c, 6), z3.dtype)
+    out, _ = jax.lax.scan(body, acc0, (ne.w18, ck.ci, ck.li))
+    return out
+
+
+def _minv_apply(ne: _NormalEqsP, y3: jax.Array) -> jax.Array:
+    """M^-1 y per landmark, plane form: [3, L] -> [3, L]."""
+    from ..ops import planes as pl
+    return pl.pack_vec(pl.matvec(pl.unpack_sym(ne.m_inv6, 3),
+                                 [y3[j] for j in range(3)]))
+
+
+def _schur_matvec_p(ne: _NormalEqsP, ck: _EdgeChunks, graph: GBPGraph,
+                    v: jax.Array) -> jax.Array:
+    c, l = graph.n_keyframes, graph.n_points
+    av = linalg.bmv(ne.a_c, v)
+    z3 = _minv_apply(ne, _wt_v_l3(ne, ck, v, l))
+    return av - _w_z_c6(ne, ck, z3, c)
+
+
+def _residual_sums_planes(camT, lmkT, graph: GBPGraph, nstds: float,
+                          ck: _EdgeChunks):
+    """(sum of Huber losses, sum of residual norms) over real edges, in
+    one chunked pass over planes (pl.project — the same projection rows
+    the kernel uses)."""
+    from ..ops import planes as pl
+
+    def body(acc, xs):
+        loss_acc, norm_acc = acc
+        ci_k, li_k, meas_k, mvar_k, val_k = xs[:5]
+        intr_k = xs[5] if len(xs) > 5 else None
+        mu_c = [camT[i][ci_k] for i in range(6)]
+        mu_l = [lmkT[i][li_k] for i in range(3)]
+        intr_rows = None if intr_k is None else [intr_k[i] for i in range(3)]
+        (u, v), _, _ = pl.project(mu_c, mu_l, graph.k, intr_rows)
+        ru = meas_k[0] - u
+        rv = meas_k[1] - v
+        r2 = ru * ru + rv * rv
+        err2 = r2 / mvar_k
+        err = jnp.sqrt(err2)
+        k = nstds
+        loss = jnp.where(err > k, k * err - 0.5 * k * k, 0.5 * err2)
+        return (loss_acc + jnp.sum(loss * val_k),
+                norm_acc + jnp.sum(jnp.sqrt(r2) * val_k)), None
+
+    z = jnp.zeros((), camT.dtype)
+    (loss, norms), _ = jax.lax.scan(body, (z, z), _ck_xs(ck))
+    return loss, norms
+
+
+def _map_cost_planes(camT, lmkT, graph, priors: GNPriors, nstds: float,
+                     ck: _EdgeChunks) -> jax.Array:
+    loss, _ = _residual_sums_planes(camT, lmkT, graph, nstds, ck)
+    dc = camT.T - priors.cam_mu
+    dl = lmkT - priors.lmk_mu.T
+    return loss + 0.5 * (jnp.sum(priors.cam_lam[:, None] * dc * dc)
+                         + jnp.sum(priors.lmk_lam[None, :] * dl * dl))
+
+
+def _mean_err_chunked(cam, lmk, graph: GBPGraph) -> jax.Array:
+    """Mean per-edge residual norm, streamed like map_cost (diagnostic
+    counterpart for the chunked large-E path)."""
+    e = graph.cam_idx.shape[0]
+    ce = min(_GN_CHUNK_EDGES, e)
+    n_ch = -(-e // ce)
+    e_pad = n_ch * ce
+    ci = _chunk_pad(graph.cam_idx, e_pad).reshape(n_ch, ce)
+    li = _chunk_pad(graph.lmk_idx, e_pad).reshape(n_ch, ce)
+    meas = _chunk_pad(graph.meas.T, e_pad).reshape(n_ch, ce, 2)
+    valid = (jnp.arange(e_pad) < e).astype(cam.dtype).reshape(n_ch, ce)
+    intr = (None if graph.intr is None
+            else _chunk_pad(graph.intr.T, e_pad).reshape(n_ch, ce, 3))
+
+    def body(acc, xs):
+        ci_k, li_k, meas_k, val_k = xs[:4]
+        intr_k = xs[4] if len(xs) > 4 else None
+        r = meas_k - projection.project(cam[ci_k], lmk[li_k], graph.k,
+                                        intr_k)
+        return acc + jnp.sum(jnp.linalg.norm(r, axis=-1) * val_k), None
+
+    xs = (ci, li, meas, valid) + (() if intr is None else (intr,))
+    total, _ = jax.lax.scan(body, jnp.zeros((), cam.dtype), xs)
+    return total / e
+
+
 class _NormalEqs(NamedTuple):
     a_c: jax.Array      # [C, 6, 6] camera diag blocks (incl prior + LM damping)
     m_inv: jax.Array    # [L, 3, 3] inverted landmark blocks
@@ -314,9 +590,15 @@ def _schur_rhs(ne: _NormalEqs, graph: GBPGraph) -> jax.Array:
     return ne.b_c - jax.ops.segment_sum(u_e, graph.cam_idx, num_segments=c)
 
 
-def _pcg(ne: _NormalEqs, graph: GBPGraph, rhs: jax.Array,
-         n_iters: int, tol: float) -> jax.Array:
-    """Block-Jacobi preconditioned CG on the reduced camera system."""
+def _pcg(ne, graph: GBPGraph, rhs: jax.Array,
+         n_iters: int, tol: float, matvec=None) -> jax.Array:
+    """Block-Jacobi preconditioned CG on the reduced camera system.
+
+    ``ne`` is either _NormalEqs (batched small-E layout) or _NormalEqsP
+    (plane-major large-E layout) — both carry s_diag_inv; ``matvec``
+    overrides the default batched Schur product for the plane path."""
+    if matvec is None:
+        matvec = lambda p: _schur_matvec(ne, graph, p)  # noqa: E731
 
     def precond(r):
         return linalg.bmv(ne.s_diag_inv, r)
@@ -330,7 +612,7 @@ def _pcg(ne: _NormalEqs, graph: GBPGraph, rhs: jax.Array,
 
     def body(carry, _):
         x, r, p, rz = carry
-        ap = _schur_matvec(ne, graph, p)
+        ap = matvec(p)
         pap = jnp.sum(p * ap)
         converged = jnp.sum(r * r) / rhs_norm2 < tol * tol
         alpha = jnp.where(pap > 0, rz / jnp.maximum(pap, 1e-30), 0.0)
@@ -379,16 +661,25 @@ def solve_lm(
     iterations when using this as an accuracy oracle.
     """
     nstds = cfg.huber_nstds
+    e = graph.cam_idx.shape[0]
+    chunked = e > _GN_CHUNK_EDGES
 
     intr_e = None if graph.intr is None else graph.intr.T
 
     def total_cost(cam, lmk):
+        if chunked:
+            # same [E, d, d]-temporary trap as _build: at 5M edges the
+            # whole-E residual evaluation's intermediates crash the
+            # compile helper — stream chunks instead (identical loss)
+            return map_cost(cam, lmk, graph, priors, cfg)
         r = graph.meas.T - projection.project(
             cam[graph.cam_idx], lmk[graph.lmk_idx], graph.k, intr_e)
         return _robust_cost(r, graph.meas_var, nstds) + _prior_cost(
             cam, lmk, priors)
 
     def mean_err(cam, lmk):
+        if chunked:
+            return _mean_err_chunked(cam, lmk, graph)
         r = graph.meas.T - projection.project(
             cam[graph.cam_idx], lmk[graph.lmk_idx], graph.k, intr_e)
         return jnp.mean(jnp.linalg.norm(r, axis=-1))
@@ -410,10 +701,62 @@ def solve_lm(
                               jnp.minimum(lm_lambda * 5.0, 1e6))
         return (cam, lmk, lm_lambda, cost), (cost, mean_err(cam, lmk), accept)
 
+    if chunked:
+        # Large E: the plane-major path (landmarks as [3, L] planes, the
+        # per-edge blocks from ops/planes.linearise), host-looped over ONE
+        # jitted LM step. Scanning the whole LM loop builds a program
+        # nesting the build scan + the CG scan + the cost scans in one
+        # compile unit — the remote compile helper dies on it at the
+        # 5M-edge shape (HTTP 500, reproduced x3), and a single >200 s
+        # dispatch would trip the tunnel's RPC deadline anyway. Per-step
+        # dispatches are seconds; the step compiles once.
+        c, l = graph.n_keyframes, graph.n_points
+        ck = _edge_chunks(graph, cam0.dtype)
+        n_real = graph.cam_idx.shape[0]
+
+        def body_p(carry):
+            cam, lmkT, lm_lambda, cost = carry
+            camT = cam.T
+            ne = _build_planes(camT, lmkT, graph, priors, nstds,
+                               lm_lambda, ck)
+            rhs = ne.b_c - _w_z_c6(ne, ck, _minv_apply(ne, ne.b_l3), c)
+            dx_c = _pcg(ne, graph, rhs, cg_iters, cg_tol,
+                        matvec=lambda p: _schur_matvec_p(ne, ck, graph, p))
+            dx_l3 = _minv_apply(ne, ne.b_l3 - _wt_v_l3(ne, ck, dx_c, l))
+            cam_new = cam + dx_c
+            lmkT_new = lmkT + dx_l3
+            cost_new = _map_cost_planes(cam_new.T, lmkT_new, graph,
+                                        priors, nstds, ck)
+            accept = (cost_new < cost) & jnp.isfinite(cost_new)
+            cam = jnp.where(accept, cam_new, cam)
+            lmkT = jnp.where(accept, lmkT_new, lmkT)
+            cost = jnp.where(accept, cost_new, cost)
+            lm_lambda = jnp.where(accept,
+                                  jnp.maximum(lm_lambda / 3.0, 1e-9),
+                                  jnp.minimum(lm_lambda * 5.0, 1e6))
+            _, norms = _residual_sums_planes(cam.T, lmkT, graph, nstds, ck)
+            return ((cam, lmkT, lm_lambda, cost),
+                    (cost, norms / n_real, accept))
+
+        lmkT0 = jnp.asarray(lmk0).T
+        cost0 = _map_cost_planes(jnp.asarray(cam0).T, lmkT0, graph,
+                                 priors, nstds, ck)
+        step = jax.jit(body_p)
+        carry = (cam0, lmkT0, jnp.asarray(lambda0, cam0.dtype), cost0)
+        ys = []
+        for _ in range(n_lm_iters):
+            carry, y = step(carry)
+            ys.append(y)
+        cam, lmkT, lm_lambda, _ = carry
+        costs, errs, accepted = (jnp.stack([y[j] for y in ys])
+                                 for j in range(3))
+        return GNResult(cam=cam, lmk=lmkT.T, cost=costs, reproj_err=errs,
+                        accepted=accepted, lm_lambda=lm_lambda)
+
     cost0 = total_cost(cam0, lmk0)
+    carry0 = (cam0, lmk0, jnp.asarray(lambda0, cam0.dtype), cost0)
     (cam, lmk, lm_lambda, _), (costs, errs, accepted) = jax.lax.scan(
-        body, (cam0, lmk0, jnp.asarray(lambda0, cam0.dtype), cost0),
-        None, length=n_lm_iters)
+        body, carry0, None, length=n_lm_iters)
     return GNResult(cam=cam, lmk=lmk, cost=costs, reproj_err=errs,
                     accepted=accepted, lm_lambda=lm_lambda)
 

@@ -141,3 +141,30 @@ def test_chunked_build_matches_single_shot(monkeypatch):
     graph32, cam32, lmk32, pri32 = _setup(problem, cfg, jnp.float32)
     res = gn.solve_lm(cam32, lmk32, graph32, pri32, cfg, n_lm_iters=25)
     assert float(np.asarray(res.reproj_err)[-1]) < 1.0
+
+
+def test_plane_lm_matches_batched(monkeypatch):
+    """The plane-major large-E LM path (landmarks as [3, L] planes,
+    per-edge blocks from ops/planes.linearise, chunked scans) must agree
+    with the batched small-E path — forced here by dropping the chunk
+    threshold. It is what makes gbp-ba --polish run at the Venice shape,
+    where the batched [E, d, d] layout tile-pads ~28x and OOMs (round 5)."""
+    problem = balio.synthetic_problem(n_keyframes=6, n_points=60, seed=3,
+                                      pixel_noise=0.5)
+    cfg = GBPConfig()
+    graph, cam0, lmk0, pri = _setup(problem, cfg, jnp.float32)
+
+    res_a = gn.solve_lm(cam0, lmk0, graph, pri, cfg, n_lm_iters=20)
+    monkeypatch.setattr(gn, "_GN_CHUNK_EDGES", 64)
+    res_b = gn.solve_lm(cam0, lmk0, graph, pri, cfg, n_lm_iters=20)
+
+    # same optimum to fp32 optimisation tolerance (different expression
+    # of the same math: planes.linearise vs batched Jacobians)
+    assert abs(float(res_a.cost[-1]) - float(res_b.cost[-1])) \
+        < 1e-4 * abs(float(res_a.cost[-1]))
+    np.testing.assert_allclose(np.asarray(res_a.cam), np.asarray(res_b.cam),
+                               rtol=0, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(res_a.lmk), np.asarray(res_b.lmk),
+                               rtol=0, atol=5e-3)
+    assert abs(float(res_a.reproj_err[-1]) - float(res_b.reproj_err[-1])) \
+        < 1e-3
